@@ -1,0 +1,22 @@
+from .checkpoint import Checkpoint
+from .lake import BUCKET_COL, LakeTable, Manifest
+from .merge import ACTION_COL, MergeResult, apply_epoch, classify, dedupe_lww, evolve_schema
+from .runner import replay
+from .spec import ChangeAction, MergeMode, MergeSpec
+
+__all__ = [
+    "ACTION_COL",
+    "BUCKET_COL",
+    "ChangeAction",
+    "Checkpoint",
+    "LakeTable",
+    "Manifest",
+    "MergeMode",
+    "MergeResult",
+    "MergeSpec",
+    "apply_epoch",
+    "classify",
+    "dedupe_lww",
+    "evolve_schema",
+    "replay",
+]

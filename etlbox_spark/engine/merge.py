@@ -1,0 +1,253 @@
+"""Merge-apply core (M2) — ETLBox ``DbMerge`` re-expressed Spark-first.
+
+Reference semantics (SURVEY.md §2.6, pinned by BASELINE.json:6): classify
+each incoming row against the destination as insert / update / delete /
+exists, honoring MergeMode Full / Delta / NoDeletions, and emit a delta
+log of what was done. ETLBox does this with a full-cache lookup and a
+per-row loop; we do it with one hash-partitioned full-outer join that
+Catalyst plans (AQE handles skew), after a last-writer-wins dedupe.
+
+Scale design (the part that must survive 10^10 events / 100 TB tables):
+
+* **LWW dedupe is a ``groupBy(key).agg(max_by(...))``**, not a window.
+  A window over (key, seq) has no partial aggregation — every event row
+  shuffles. ``max_by`` combines map-side, so the shuffle carries at most
+  one row per (key, partition): ~orders of magnitude less shuffle I/O on
+  hot keys, and it makes per-repo skew a non-issue for the dedupe because
+  the combine happens before the exchange (salting-equivalent effect with
+  zero bookkeeping).
+* **Bucket pruning**: in DELTA (binlog) mode the snapshot side of the join
+  reads only the buckets the batch touches — the manifest prunes files, so
+  a small epoch against a 100 TB table scans GBs, not TBs.
+* **Copy-on-write by changed bucket**: only buckets with at least one
+  actual row change (insert/update/delete) are rewritten. ``exists`` rows
+  appear in the delta log but cause zero file churn (SURVEY.md §7 hard #2).
+* The join itself is an equi-join on the key; both sides arrive hash
+  partitioned by key-hash bucket, AQE's skew-join splitting handles any
+  residual hot bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import bucket_expr
+from .lake import BUCKET_COL, LakeTable
+from .spec import ChangeAction, MergeMode, MergeSpec
+
+ACTION_COL = "action"
+
+
+@dataclass
+class MergeResult:
+    epoch_id: int
+    version: int
+    skipped: bool = False
+    counts: dict[str, int] = field(default_factory=dict)
+    changed_buckets: list[int] = field(default_factory=list)
+    offsets: dict[int, dict[str, int]] = field(default_factory=dict)
+
+
+def dedupe_lww(events: DataFrame, spec: MergeSpec) -> DataFrame:
+    """Last-writer-wins dedupe: one surviving event per key, the one with
+    the highest ``seq_col``. Re-delivered duplicates (same seq, same
+    payload) collapse for free.
+
+    Implemented as ``groupBy(keys).agg(max_by(struct(rest), seq))`` —
+    a single shuffle with map-side partial aggregation (see module doc).
+    """
+    keys = list(spec.key_cols)
+    rest = [c for c in events.columns if c not in keys]
+    return (
+        events.groupBy(*keys)
+        .agg(F.max_by(F.struct(*rest), F.col(spec.seq_col)).alias("__last"))
+        .select(*keys, "__last.*")
+    )
+
+
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3, "float": 4, "double": 5}
+
+
+def evolve_schema(
+    table_schema: T.StructType, batch_schema: T.StructType, spec: MergeSpec
+) -> T.StructType | None:
+    """Schema evolution (BASELINE.json:6): column add + type widen.
+
+    Returns the evolved schema, or None if the table schema already
+    covers the batch. Never narrows, never drops columns.
+    """
+    engine_cols = {spec.seq_col, spec.op_col, BUCKET_COL, "epoch", "ts", "schema_ver"}
+    by_name = {f.name: f for f in table_schema.fields}
+    out = list(table_schema.fields)
+    changed = False
+    for f in batch_schema.fields:
+        if f.name in engine_cols:
+            continue
+        cur = by_name.get(f.name)
+        if cur is None:
+            out.append(T.StructField(f.name, f.dataType, True))
+            changed = True
+        elif cur.dataType != f.dataType:
+            a = _WIDEN_RANK.get(cur.dataType.typeName())
+            b = _WIDEN_RANK.get(f.dataType.typeName())
+            if a is not None and b is not None and b > a:
+                out[[x.name for x in out].index(f.name)] = T.StructField(f.name, f.dataType, True)
+                changed = True
+    return T.StructType(out) if changed else None
+
+
+def classify(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    spec: MergeSpec,
+    mode: MergeMode,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Full-outer classification join (SURVEY.md §2.6 pseudo-plan).
+
+    Returns keys + payload (new value for insert/update, old otherwise)
+    + bucket + seq + ``action`` (insert/update/delete/exists, or NULL for
+    rows that survive untouched and unlogged — DELTA-mode snapshot-only
+    rows and tombstones of absent keys).
+    """
+    keys = list(spec.key_cols)
+    s = snapshot.withColumn("__s_present", F.lit(True)).alias("s")
+    e = batch.withColumn("__e_present", F.lit(True)).alias("e")
+    j = s.join(e, on=[F.col(f"s.{k}").eqNullSafe(F.col(f"e.{k}")) for k in keys], how="full_outer")
+
+    s_here = F.col("__s_present").isNotNull() & F.col("__s_present")
+    e_here = F.col("__e_present").isNotNull() & F.col("__e_present")
+    is_tomb = e_here & (F.col(f"e.{spec.op_col}") == ChangeAction.DELETE.value)
+    cmp_cols = [c for c in spec.compare_cols if c in payload_cols]
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"s.{c}").eqNullSafe(F.col(f"e.{c}"))
+
+    ins, upd, dele, exi = (a.value for a in (
+        ChangeAction.INSERT, ChangeAction.UPDATE, ChangeAction.DELETE, ChangeAction.EXISTS))
+
+    if mode is MergeMode.NO_DELETIONS:
+        # deletes suppressed at the sink; delta records them as existence
+        # flags (FIXTURES.md §4 'no_deletions')
+        tomb_hit, s_only = F.lit(exi), F.lit(exi)
+    elif mode is MergeMode.FULL:
+        tomb_hit, s_only = F.lit(dele), F.lit(dele)
+    else:  # DELTA: binlog — no full diff; snapshot-only rows untouched+unlogged
+        tomb_hit, s_only = F.lit(dele), F.lit(None).cast("string")
+
+    action = (
+        F.when(is_tomb & s_here, tomb_hit)
+        .when(is_tomb & ~s_here, F.lit(None).cast("string"))  # idempotent tombstone of absent key
+        .when(e_here & ~s_here, F.lit(ins))
+        .when(e_here & s_here & ~same, F.lit(upd))
+        .when(e_here & s_here & same, F.lit(exi))
+        .otherwise(s_only)  # snapshot-only row
+    )
+
+    cols = [F.coalesce(F.col(f"e.{k}"), F.col(f"s.{k}")).alias(k) for k in keys]
+    out = j.select(
+        *cols,
+        *[F.col(f"e.{c}").alias(f"__e_{c}") for c in payload_cols if c in batch.columns],
+        *[F.col(f"s.{c}").alias(f"__s_{c}") for c in payload_cols],
+        F.coalesce(F.col(f"e.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")).alias(BUCKET_COL),
+        F.col(f"e.{spec.seq_col}").alias(spec.seq_col),
+        action.alias(ACTION_COL),
+        e_here.alias("__e_here"),
+        is_tomb.alias("__tomb"),
+        # survival decided HERE, where s/e presence is known: a no-op
+        # tombstone of an absent key must NOT write a ghost row, while a
+        # DELTA-mode snapshot-only row (also action NULL) must survive.
+        (
+            action.isin(ins, upd, exi) | (action.isNull() & s_here)
+        ).alias("__keep"),
+    )
+    take_new = out["__e_here"] & ~out["__tomb"] & out[ACTION_COL].isin(ins, upd)
+    payload_exprs = []
+    for c in payload_cols:
+        if f"__e_{c}" in out.columns:
+            v = F.when(take_new, out[f"__e_{c}"]).otherwise(out[f"__s_{c}"])
+        else:
+            v = out[f"__s_{c}"]
+        payload_exprs.append(v.alias(c))
+    return out.select(*keys, *payload_exprs, BUCKET_COL, spec.seq_col, ACTION_COL, "__keep")
+
+
+def apply_epoch(
+    spark: SparkSession,
+    lake: LakeTable,
+    events: DataFrame,
+    spec: MergeSpec,
+    mode: MergeMode,
+    epoch_id: int,
+    delta_dir: str | None = None,
+) -> MergeResult:
+    """Apply one epoch of change events to the lake table, exactly-once.
+
+    Pipeline: LWW dedupe → bucket-pruned snapshot read → full-outer
+    classify → copy-on-write commit of changed buckets → delta log.
+    Re-applying a committed epoch is a no-op (idempotent replay).
+    """
+    man = lake.manifest()
+    if epoch_id in man.committed_epochs:
+        return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
+
+    batch = dedupe_lww(events, spec).withColumn(
+        BUCKET_COL, bucket_expr(man.n_buckets, *spec.key_cols)
+    )
+
+    # schema evolution before classification so payload cols are final
+    new_schema = evolve_schema(man.schema(), batch.schema, spec)
+    table_schema = new_schema or man.schema()
+    payload_cols = [f.name for f in table_schema.fields if f.name not in spec.key_cols]
+
+    batch = batch.persist()
+    touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+    offsets = {
+        int(r[0]): {"max_seq": int(r[1]), "rows": int(r[2])}
+        for r in batch.groupBy(BUCKET_COL)
+        .agg(F.max(spec.seq_col), F.count(F.lit(1)))
+        .collect()
+    }
+
+    # DELTA prunes the snapshot scan to touched buckets; FULL/NO_DELETIONS
+    # must diff the entire table (semantics require it)
+    snap = lake.read(spark, buckets=touched if mode is MergeMode.DELTA else None)
+
+    j = classify(snap, batch, spec, mode, payload_cols).persist()
+    ins, upd, dele, exi = (a.value for a in (
+        ChangeAction.INSERT, ChangeAction.UPDATE, ChangeAction.DELETE, ChangeAction.EXISTS))
+
+    counts = {r[0]: r[1] for r in j.where(F.col(ACTION_COL).isNotNull())
+              .groupBy(ACTION_COL).count().collect()}
+    changed = [
+        r[0]
+        for r in j.where(F.col(ACTION_COL).isin(ins, upd, dele))
+        .select(BUCKET_COL).distinct().collect()
+    ]
+
+    new_rows = (
+        j.where(F.col(BUCKET_COL).isin(changed) & F.col("__keep"))
+        .select(*spec.key_cols, *payload_cols, BUCKET_COL)
+    )
+    version = lake.commit_buckets(new_rows, changed, epoch_id, new_schema=new_schema)
+
+    if delta_dir is not None:
+        (
+            j.where(F.col(ACTION_COL).isNotNull())
+            .drop("__keep")
+            .write.mode("overwrite")
+            .parquet(f"{delta_dir}/epoch={epoch_id}")
+        )
+    j.unpersist()
+    batch.unpersist()
+    return MergeResult(
+        epoch_id=epoch_id,
+        version=version,
+        counts={k: int(v) for k, v in counts.items()},
+        changed_buckets=sorted(changed),
+        offsets=offsets,
+    )

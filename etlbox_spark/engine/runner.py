@@ -1,0 +1,47 @@
+"""Epoch replay driver — the binlog tail loop (SURVEY.md §2.8, §3.2).
+
+Reads ordered epoch directories produced by gen.write_events (or any
+binlog landing zone with the same layout), applies each epoch through
+the merge core, records the checkpoint. Restart-safe from any point:
+already-committed epochs no-op via the lake's epoch markers, and the
+checkpoint lets a resume skip even the no-op job submission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .checkpoint import Checkpoint
+from .gen import list_epochs
+from .lake import LakeTable
+from .merge import MergeResult, apply_epoch
+from .spec import MergeMode, MergeSpec
+
+
+def replay(
+    spark: SparkSession,
+    lake: LakeTable,
+    events_dir: str,
+    spec: MergeSpec,
+    mode: MergeMode = MergeMode.DELTA,
+    delta_dir: str | None = None,
+    checkpoint: Checkpoint | None = None,
+    epochs: list[int] | None = None,
+    fast_resume: bool = True,
+) -> list[MergeResult]:
+    """Replay epochs in order; returns one MergeResult per epoch."""
+    results: list[MergeResult] = []
+    todo = epochs if epochs is not None else list_epochs(events_dir)
+    done_fast = set()
+    if checkpoint is not None and fast_resume:
+        done_fast = {int(k) for k, v in checkpoint.load()["epochs"].items() if not v["skipped"]}
+    for ep in sorted(todo):
+        if ep in done_fast:
+            results.append(MergeResult(epoch_id=ep, version=-1, skipped=True))
+            continue
+        events = spark.read.parquet(f"{events_dir}/epoch={ep}")
+        res = apply_epoch(spark, lake, events, spec, mode, ep, delta_dir=delta_dir)
+        if checkpoint is not None:
+            checkpoint.record(res)
+        results.append(res)
+    return results

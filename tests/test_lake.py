@@ -1,0 +1,162 @@
+"""M0 lake-table layer tests: atomic commits, idempotency, crash safety,
+bucket pruning, schema evolution read alignment (SURVEY.md §7 M0)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etlbox_spark.engine.lake import BUCKET_COL, LakeTable
+from etlbox_spark.functions.hashing import bucket_expr
+
+from .conftest import REPO_FILES_SCHEMA
+
+
+def _rows_df(spark, rows, n_buckets=8):
+    df = spark.createDataFrame(rows, REPO_FILES_SCHEMA)
+    return df.withColumn(BUCKET_COL, bucket_expr(n_buckets, "repo", "path"))
+
+
+def _mk(tmp_path, name="t", n_buckets=8):
+    return LakeTable.create(str(tmp_path / name), REPO_FILES_SCHEMA, ["repo", "path"], n_buckets)
+
+
+def test_create_load_empty(spark, tmp_path):
+    t = _mk(tmp_path)
+    assert t.exists()
+    assert t.row_count() == 0
+    df = t.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [*REPO_FILES_SCHEMA.names, BUCKET_COL]
+    t2 = LakeTable.load(str(tmp_path / "t"))
+    assert t2.latest_version() == 0
+
+
+def test_create_rejects_bad_schema(tmp_path):
+    bad = T.StructType([T.StructField("bucket", T.IntegerType())])
+    with pytest.raises(ValueError):
+        LakeTable.create(str(tmp_path / "x"), bad, ["bucket"])
+    with pytest.raises(ValueError):
+        LakeTable.create(str(tmp_path / "y"), REPO_FILES_SCHEMA, ["nope"])
+
+
+def test_commit_and_read(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", "p1", "c1", "py", "A"), ("r0", "p2", "c2", "py", "B")])
+    buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    v = t.commit_buckets(df, buckets, epoch_id=0)
+    assert v == 1
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {("r0", "p1", "A"), ("r0", "p2", "B")}
+    assert t.row_count() == 2
+
+
+def test_commit_is_idempotent_per_epoch(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
+    buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    v1 = t.commit_buckets(df, buckets, epoch_id=7)
+    v2 = t.commit_buckets(df, buckets, epoch_id=7)  # replay → no-op
+    assert v1 == v2 == t.latest_version()
+    assert t.row_count() == 1
+
+
+def test_copy_on_write_only_touched_buckets(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", f"p{i}", f"c{i}", "py", f"X{i}") for i in range(20)])
+    all_buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df, all_buckets, epoch_id=0)
+    m0 = t.manifest()
+    # rewrite a single bucket
+    b0 = all_buckets[0]
+    repl = t.read(spark, buckets=[b0]).withColumn("content", F.lit("NEW"))
+    t.commit_buckets(repl, [b0], epoch_id=1)
+    m1 = t.manifest()
+    old_untouched = {e["path"] for e in m0.files if e["bucket"] != b0}
+    new_untouched = {e["path"] for e in m1.files if e["bucket"] != b0}
+    assert old_untouched == new_untouched  # untouched files carried by reference
+    assert {e["path"] for e in m1.files if e["bucket"] == b0}.isdisjoint(
+        {e["path"] for e in m0.files if e["bucket"] == b0}
+    )
+    got = t.read(spark, buckets=[b0]).select("content").distinct().collect()
+    assert [r[0] for r in got] == ["NEW"]
+
+
+def test_bucket_pruned_read_lists_only_selected_files(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", f"p{i}", f"c{i}", "py", f"X{i}") for i in range(50)])
+    bs = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df, bs, epoch_id=0)
+    sub = t.read(spark, buckets=bs[:2])
+    assert set(r[0] for r in sub.select(BUCKET_COL).distinct().collect()) == set(bs[:2])
+    # the physical scan must reference only pruned files
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert plan  # smoke: plan renders
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
+    bs = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df, bs, epoch_id=0)
+    v = t.latest_version()
+    # simulate a crash: data + manifest written, pointer NOT swapped
+    m = t.manifest()
+    orphan = m.to_json().replace(f'"version": {m.version}', f'"version": {m.version + 1}')
+    with open(os.path.join(str(tmp_path / "t"), "meta", f"v{m.version + 1}.json"), "w") as f:
+        f.write(orphan)
+    t2 = LakeTable.load(str(tmp_path / "t"))
+    assert t2.latest_version() == v  # reader still sees the old snapshot
+    assert t2.read(spark).count() == 1
+
+
+def test_time_travel(spark, tmp_path):
+    t = _mk(tmp_path)
+    df1 = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
+    bs1 = [r[0] for r in df1.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df1, bs1, epoch_id=0)
+    df2 = t.read(spark).withColumn("content", F.lit("B"))
+    t.commit_buckets(df2, bs1, epoch_id=1)
+    assert [r.content for r in t.read(spark, version=1).collect()] == ["A"]
+    assert [r.content for r in t.read(spark, version=2).collect()] == ["B"]
+
+
+def test_truncate_and_overwrite(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
+    bs = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df, bs, epoch_id=0)
+    t.truncate(epoch_id=1)
+    assert t.row_count() == 0
+    t.overwrite(_rows_df(spark, [("r1", "q", "c", "py", "Z")]), epoch_id=2)
+    assert t.row_count() == 1
+    # overwrite replay no-op
+    t.overwrite(_rows_df(spark, [("r2", "w", "c", "py", "W")]), epoch_id=2)
+    assert [r.repo for r in t.read(spark).collect()] == ["r1"]
+
+
+def test_schema_evolution_read_alignment(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
+    bs = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df, bs, epoch_id=0)
+    # evolve: add size_bytes (column add, null backfill on old files)
+    new_schema = T.StructType(
+        list(REPO_FILES_SCHEMA.fields) + [T.StructField("size_bytes", T.LongType(), True)]
+    )
+    # pick a second key that lands in a different bucket than p1
+    for cand in ("zz", "zz1", "zz2", "zz3", "zz4"):
+        df2 = _rows_df(spark, [("r9", cand, "c2", "py", "B")]).withColumn(
+            "size_bytes", F.lit(123).cast("long")
+        )
+        bs2 = [r[0] for r in df2.select(BUCKET_COL).distinct().collect()]
+        if set(bs2).isdisjoint(bs):
+            break
+    cand_path = [r.path for r in df2.select("path").collect()][0]
+    t.commit_buckets(df2, bs2, epoch_id=1, new_schema=new_schema)
+    got = {(r.path, r.size_bytes) for r in t.read(spark).collect()}
+    assert got == {("p1", None), (cand_path, 123)}
+    assert t.manifest().current_schema_version == 2

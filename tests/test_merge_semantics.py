@@ -1,0 +1,176 @@
+"""ETLBox DbMergeTests re-expressed (SURVEY.md §5.2, FIXTURES.md §4).
+
+The reference's TwoColumnsTableFixture golden rows (1,'Test1')..(3,'Test3')
+become (repo='r0', path='p{i}', content='Test{i}') under the (repo, path)
+key model. Every fixture asserts the final snapshot AND the delta-log
+ChangeActions (incl. existence flags), plus per-row sha256(content)
+equality against a pure-Python replay oracle (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etlbox_spark.engine import LakeTable, MergeMode, MergeSpec, apply_epoch
+from etlbox_spark.functions.hashing import content_sha256
+
+from .conftest import EVENTS_SCHEMA, REPO_FILES_SCHEMA, ev
+
+# parity fixtures compare by content only (ETLBox [CompareColumn] equality)
+SPEC = MergeSpec(compare_cols=("content",))
+
+
+def _table(tmp_path):
+    return LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 8)
+
+
+def _apply(spark, t, rows, mode, epoch, delta_dir):
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    return apply_epoch(spark, t, df, SPEC, mode, epoch, delta_dir=delta_dir)
+
+
+def _seed_three(spark, t, delta_dir):
+    rows = [ev(1, "insert", "p1", "Test1"), ev(2, "insert", "p2", "Test2"),
+            ev(3, "insert", "p3", "Test3")]
+    return _apply(spark, t, rows, MergeMode.FULL, 0, delta_dir)
+
+
+def _snapshot(spark, t):
+    return {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+
+
+def _delta_actions(spark, delta_dir, epoch):
+    df = spark.read.parquet(f"{delta_dir}/epoch={epoch}")
+    return {(r.repo, r.path): r.action for r in df.collect()}
+
+
+def _sha_ok(spark, t, expected: dict):
+    """Per-row sha256(content) vs the python-side oracle."""
+    got = {
+        (r.repo, r.path): r.sha
+        for r in t.read(spark).withColumn("sha", content_sha256()).collect()
+    }
+    want = {
+        k: hashlib.sha256(v.encode()).hexdigest() for k, v in expected.items()
+    }
+    assert got == want
+
+
+def test_full_into_empty(spark, tmp_path):
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    res = _seed_three(spark, t, d)
+    assert res.counts == {"insert": 3}
+    exp = {("r0", "p1"): "Test1", ("r0", "p2"): "Test2", ("r0", "p3"): "Test3"}
+    assert _snapshot(spark, t) == exp
+    assert set(_delta_actions(spark, d, 0).values()) == {"insert"}
+    _sha_ok(spark, t, exp)
+
+
+def test_full_overlap(spark, tmp_path):
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    rows = [ev(10, "insert", "p2", "Test2"), ev(11, "insert", "p3", "TestX"),
+            ev(12, "insert", "p4", "Test4")]
+    res = _apply(spark, t, rows, MergeMode.FULL, 1, d)
+    exp = {("r0", "p2"): "Test2", ("r0", "p3"): "TestX", ("r0", "p4"): "Test4"}
+    assert _snapshot(spark, t) == exp
+    acts = _delta_actions(spark, d, 1)
+    assert acts == {
+        ("r0", "p1"): "delete",   # absent from source → deleted (Full)
+        ("r0", "p2"): "exists",   # equal → existence flag, no write
+        ("r0", "p3"): "update",
+        ("r0", "p4"): "insert",
+    }
+    assert res.counts == {"delete": 1, "exists": 1, "update": 1, "insert": 1}
+    _sha_ok(spark, t, exp)
+
+
+def test_no_deletions_suppresses_deletes(spark, tmp_path):
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    rows = [ev(10, "insert", "p2", "Test2"), ev(11, "insert", "p3", "TestX"),
+            ev(12, "insert", "p4", "Test4")]
+    _apply(spark, t, rows, MergeMode.NO_DELETIONS, 1, d)
+    exp = {("r0", "p1"): "Test1", ("r0", "p2"): "Test2",
+           ("r0", "p3"): "TestX", ("r0", "p4"): "Test4"}
+    assert _snapshot(spark, t) == exp  # p1 retained
+    acts = _delta_actions(spark, d, 1)
+    assert acts[("r0", "p1")] == "exists"  # suppressed delete → existence flag
+    _sha_ok(spark, t, exp)
+
+
+def test_delta_flagged_delete(spark, tmp_path):
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    rows = [ev(10, "update", "p2", "TestY"), ev(11, "delete", "p3")]
+    res = _apply(spark, t, rows, MergeMode.DELTA, 1, d)
+    exp = {("r0", "p1"): "Test1", ("r0", "p2"): "TestY"}
+    assert _snapshot(spark, t) == exp  # p1 untouched: no full diff in Delta
+    acts = _delta_actions(spark, d, 1)
+    assert acts == {("r0", "p2"): "update", ("r0", "p3"): "delete"}
+    assert res.counts == {"update": 1, "delete": 1}
+    _sha_ok(spark, t, exp)
+
+
+@pytest.mark.parametrize("mode", [MergeMode.FULL, MergeMode.DELTA, MergeMode.NO_DELETIONS])
+def test_idempotent_replay(spark, tmp_path, mode):
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    rows = [ev(10, "update", "p2", "TestY")]
+    _apply(spark, t, rows, mode, 1, d)
+    before = _snapshot(spark, t)
+    v_before = t.latest_version()
+    res = _apply(spark, t, rows, mode, 1, d)  # same epoch re-applied
+    assert res.skipped
+    assert t.latest_version() == v_before
+    assert _snapshot(spark, t) == before
+
+
+def test_tombstone_of_absent_key_is_noop(spark, tmp_path):
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    res = _apply(spark, t, [ev(1, "delete", "p9")], MergeMode.DELTA, 0, d)
+    assert _snapshot(spark, t) == {}
+    assert res.counts == {}  # nothing logged
+    assert res.changed_buckets == []
+
+
+def test_lww_dedupe_within_epoch(spark, tmp_path):
+    """Out-of-order + duplicate delivery inside one epoch: highest
+    event_seq wins; re-delivered rows are collapsed."""
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    rows = [
+        ev(5, "insert", "p1", "v5"),
+        ev(3, "insert", "p1", "v3"),   # out of order, must lose
+        ev(5, "insert", "p1", "v5"),   # duplicate delivery
+        ev(8, "update", "p1", "v8"),
+        ev(2, "insert", "p2", "w2"),
+        ev(9, "delete", "p2"),         # tombstone wins over w2
+    ]
+    res = _apply(spark, t, rows, MergeMode.DELTA, 0, d)
+    assert _snapshot(spark, t) == {("r0", "p1"): "v8"}
+    assert res.counts == {"insert": 1}  # p1 net-insert; p2 tombstone of absent → noop
+
+
+def test_exists_rows_cause_zero_file_churn(spark, tmp_path):
+    """SURVEY.md §7 hard #2: a batch that only re-states current rows
+    commits the epoch marker but rewrites no files."""
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    files_before = {e["path"] for e in t.manifest().files}
+    rows = [ev(10, "insert", "p1", "Test1"), ev(11, "insert", "p2", "Test2"),
+            ev(12, "insert", "p3", "Test3")]
+    res = _apply(spark, t, rows, MergeMode.DELTA, 1, d)
+    assert res.counts == {"exists": 3}
+    assert res.changed_buckets == []
+    assert {e["path"] for e in t.manifest().files} == files_before
+    assert t.is_committed(1)
