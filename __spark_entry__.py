@@ -1,38 +1,712 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 (or a
+training-data-pipeline op) through the etlbox_spark package; the matching
+``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB replays over the
+same parquet tables. Column names and rounding are aligned on both sides
+(the driver hashes values order-insensitively but name-sensitively).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etlbox_spark.engine.merge import classify
+from etlbox_spark.engine.spec import MergeMode, MergeSpec
+from etlbox_spark.functions.hashing import bucket_expr
+from etlbox_spark.operators import (
+    aggregation,
+    column_rename,
+    conditional_split,
+    cross_join,
+    dedupe_lww,
+    distinct,
+    exact_dedup,
+    lookup,
+    merge_join,
+    merge_join_positional,
+    multicast,
+    row_duplication,
+    row_multiplication,
+    row_transformation,
+    sort,
+    top_k_per_group,
+)
+from etlbox_spark.operators.aggregate import center_on_global_mean
+from etlbox_spark.operators.multimodal import extract_features, frame_sample_plan, media_from_documents
+from etlbox_spark.operators.similarity import cosine, cosine_near_dup_pairs, cosine_topk
+from etlbox_spark.operators.textdedup import minhash_lsh_candidates, ngram_jaccard, simhash_near_dups
+from etlbox_spark.operators.textstats import fingerprint, lang_id, quality_features
+from etlbox_spark.operators.textdedup import normalize_text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- CDC core
+
+_EV_SPEC = MergeSpec(
+    key_cols=("user_id", "event_type"),
+    seq_col="event_id",
+    compare_cols=("value",),
+    op_col="op",
+)
+
+
+def _events_split(spark: SparkSession, sf_dir: str):
+    """Snapshot = LWW state of the first half of the event stream;
+    batch = LWW of the second half with derived upsert/tombstone ops."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg((F.max("event_id") / 2).alias("c")).collect()[0][0]
+    keys = ["user_id", "event_type"]
+    bexp = bucket_expr(32, *keys)
+    snap = (
+        dedupe_lww(ev.where(F.col("event_id") < cut), keys, ["event_id"])
+        .select(*keys, "value")
+        .withColumn("bucket", bexp)
+    )
+    batch = (
+        dedupe_lww(ev.where(F.col("event_id") >= cut), keys, ["event_id"])
+        .withColumn("op", F.when(F.col("value") < 2.0, "delete").otherwise("update"))
+        .select(*keys, "value", "op", "event_id")
+        .withColumn("bucket", bexp)
+    )
+    return snap, batch
+
+
+def _cdc_merge(mode: MergeMode):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        snap, batch = _events_split(spark, sf_dir)
+        j = classify(snap, batch, _EV_SPEC, mode, payload_cols=["value"])
+        return (
+            j.where(F.col("action").isNotNull())
+            .select("user_id", "event_type", "action", F.col("value").alias("val"))
+        )
+
+    return q
+
+
+_CDC_ORACLE_TMPL = """
+WITH snap AS (
+  SELECT user_id, event_type, value FROM events
+  WHERE event_id < (SELECT max(event_id)/2 FROM events)
+  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+), batch AS (
+  SELECT user_id, event_type, value,
+         CASE WHEN value < 2.0 THEN 'delete' ELSE 'update' END AS op
+  FROM events
+  WHERE event_id >= (SELECT max(event_id)/2 FROM events)
+  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+), j AS (
+  SELECT coalesce(b.user_id, s.user_id) AS user_id,
+         coalesce(b.event_type, s.event_type) AS event_type,
+         CASE
+           WHEN b.op = 'delete' AND s.user_id IS NOT NULL THEN {tomb_hit}
+           WHEN b.op = 'delete' THEN NULL
+           WHEN b.user_id IS NOT NULL AND s.user_id IS NULL THEN 'insert'
+           WHEN b.user_id IS NOT NULL AND s.value IS DISTINCT FROM b.value THEN 'update'
+           WHEN b.user_id IS NOT NULL THEN 'exists'
+           ELSE {s_only}
+         END AS action,
+         s.value AS s_value, b.value AS b_value
+  FROM snap s FULL OUTER JOIN batch b
+    ON s.user_id = b.user_id AND s.event_type = b.event_type
+)
+SELECT user_id, event_type, action,
+       CASE WHEN action IN ('insert','update') THEN b_value ELSE s_value END AS val
+FROM j WHERE action IS NOT NULL
+"""
+
+
+# -------------------------------------------------------------- the tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC merge-classification (Full mode) over the sf0.001
+    event stream — the DbMerge pipeline re-expressed (SURVEY.md §2.6)."""
+    return _cdc_merge(MergeMode.FULL)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- §2.3 row-level
+    def q_row_transformation(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        out = row_transformation(
+            li.where(F.col("l_shipdate") < "1996-01-01"),
+            {
+                "l_orderkey": F.col("l_orderkey"),
+                "l_linenumber": F.col("l_linenumber"),
+                "revenue": F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+            },
+            keep=False,
+        )
+        return out
+
+    q["row_transformation"] = q_row_transformation
+
+    def q_row_duplication(spark, sf):
+        r = _t(spark, sf, "region")
+        return row_duplication(r, predicate=F.col("r_regionkey") < 3).select("r_regionkey", "r_name")
+
+    q["row_duplication"] = q_row_duplication
+
+    def q_row_multiplication(spark, sf):
+        p = _t(spark, sf, "part")
+        return row_multiplication(p, "type_word", F.split(F.col("p_type"), " ")).select(
+            "p_partkey", "type_word"
+        )
+
+    q["row_multiplication"] = q_row_multiplication
+
+    def q_column_rename(spark, sf):
+        n = _t(spark, sf, "nation")
+        return column_rename(
+            n,
+            {"n_nationkey": "nation_key", "n_name": "nation_name", "n_regionkey": "region_key"},
+            drop_unmapped=True,
+        )
+
+    q["column_rename"] = q_column_rename
+
+    # ---- §2.4 joins / lookup / branch
+    def q_lookup(spark, sf):
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        return lookup(
+            c.select(F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey").alias("n_nationkey")),
+            n,
+            match_cols=["n_nationkey"],
+            retrieve_cols={"n_name": "nation_name"},
+        ).select("c_custkey", "c_name", "nation_name")
+
+    q["lookup"] = q_lookup
+
+    def q_merge_join(spark, sf):
+        o = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+        c = _t(spark, sf, "customer")
+        return merge_join(o, c, on=["c_custkey"]).select("o_orderkey", "o_totalprice", "c_name")
+
+    q["merge_join"] = q_merge_join
+
+    def q_merge_join_positional(spark, sf):
+        r = _t(spark, sf, "region").select("r_regionkey", "r_name")
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name").where(F.col("n_nationkey") < 5)
+        return merge_join_positional(r, n, ["r_regionkey"], ["n_nationkey"]).select(
+            "r_name", "n_name"
+        )
+
+    q["merge_join_positional"] = q_merge_join_positional
+
+    def q_cross_join(spark, sf):
+        r = _t(spark, sf, "region").select("r_name")
+        n = _t(spark, sf, "nation").select("n_name")
+        return cross_join(n, r)
+
+    q["cross_join"] = q_cross_join
+
+    def q_multicast(spark, sf):
+        c = _t(spark, sf, "customer")
+        b1, b2 = multicast(
+            c,
+            [
+                lambda d: d.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("segment").alias("branch"), F.col("c_mktsegment").alias("key"), "n"),
+                lambda d: d.groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.lit("nation").alias("branch"),
+                    F.col("c_nationkey").cast("string").alias("key"),
+                    "n",
+                ),
+            ],
+            persist=False,
+        )
+        return b1.unionByName(b2)
+
+    q["multicast"] = q_multicast
+
+    def q_conditional_split(spark, sf):
+        o = _t(spark, sf, "orders")
+        hit, miss = conditional_split(o, F.col("o_orderstatus") == "O")
+        a = hit.agg(F.count(F.lit(1)).alias("n")).select(F.lit("open").alias("branch"), "n")
+        b = miss.agg(F.count(F.lit(1)).alias("n")).select(F.lit("other").alias("branch"), "n")
+        return a.unionByName(b)
+
+    q["conditional_split"] = q_conditional_split
+
+    # ---- §2.5 aggregation / blocking / set ops
+    def q_aggregation(spark, sf):
+        s = _t(spark, sf, "supplier")
+        return aggregation(
+            s,
+            ["s_nationkey"],
+            {
+                "total_bal": F.round(F.sum("s_acctbal"), 2),
+                "min_bal": ("min", "s_acctbal"),
+                "max_bal": ("max", "s_acctbal"),
+                "n": ("count", "s_suppkey"),
+            },
+        )
+
+    q["aggregation"] = q_aggregation
+
+    def q_q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "sum_disc_price"
+                ),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q_q1_pricing_summary
+
+    def q_block_transformation(spark, sf):
+        ev = _t(spark, sf, "events")
+        return center_on_global_mean(ev, "value", "value_centered").select(
+            "event_id", F.round("value_centered", 4).alias("value_centered")
+        )
+
+    q["block_transformation"] = q_block_transformation
+
+    def q_sort(spark, sf):
+        o = _t(spark, sf, "orders")
+        return sort(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]).select(
+            "o_orderkey", "o_totalprice"
+        ).limit(100)
+
+    q["sort"] = q_sort
+
+    def q_distinct(spark, sf):
+        c = _t(spark, sf, "customer")
+        return distinct(c.select("c_nationkey", "c_mktsegment"))
+
+    q["distinct"] = q_distinct
+
+    def q_set_intersect(spark, sf):
+        c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+        s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+        return c.intersect(s)
+
+    q["set_intersect"] = q_set_intersect
+
+    def q_set_except(spark, sf):
+        # multiset EXCEPT ALL: customers' nation keys minus suppliers'
+        c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+        s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+        return c.exceptAll(s)
+
+    q["set_except"] = q_set_except
+
+    def q_top_k_per_group(spark, sf):
+        o = _t(spark, sf, "orders")
+        return top_k_per_group(
+            o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+        ).select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+
+    q["top_k_per_group"] = q_top_k_per_group
+
+    def q_window_running(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        # RANGE frame: (l_orderkey, l_linenumber) is NOT unique in the
+        # fixture, so ROWS framing would be tie-order-dependent; RANGE
+        # sums all peers ≤ current key — deterministic on both engines.
+        w = (
+            Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return li.select(
+            "l_orderkey", "l_linenumber", F.sum("l_quantity").over(w).alias("running_qty")
+        )
+
+    q["window_running"] = q_window_running
+
+    def q_pivot(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        p = (
+            li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.sum("l_quantity"))
+            .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+        )
+        return p
+
+    q["pivot"] = q_pivot
+
+    def q_rollup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+    q["rollup"] = q_rollup
+
+    def q_sessionize(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        marked = ev.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+        return marked.groupBy("user_id").agg((F.sum("new_s") + 1).alias("n_sessions"))
+
+    q["sessionize"] = q_sessionize
+
+    # ---- §2.6 CDC / merge family
+    def q_dedupe_lww(spark, sf):
+        ev = _t(spark, sf, "events")
+        return dedupe_lww(ev, ["user_id", "event_type"], ["event_id"]).select(
+            "user_id", "event_type", "event_id", "value"
+        )
+
+    q["dedupe_lww"] = q_dedupe_lww
+
+    q["cdc_merge_full"] = _cdc_merge(MergeMode.FULL)
+    q["cdc_merge_delta"] = _cdc_merge(MergeMode.DELTA)
+    q["cdc_merge_no_deletions"] = _cdc_merge(MergeMode.NO_DELETIONS)
+
+    # ---- training-data ops: text
+    def q_dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        return exact_dedup(d, "text", "doc_id", normalize=normalize_text(F.col("text")))
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_doc_fingerprint(spark, sf):
+        return fingerprint(_t(spark, sf, "documents"), "text", "doc_id")
+
+    q["doc_fingerprint"] = q_doc_fingerprint
+
+    def q_text_quality(spark, sf):
+        return quality_features(_t(spark, sf, "documents"), "text", "doc_id").withColumns(
+            {"n_chars_m": F.col("n_chars_m").cast("long"), "n_tokens": F.col("n_tokens").cast("long")}
+        )
+
+    q["text_quality"] = q_text_quality
+
+    def q_lang_id(spark, sf):
+        out = lang_id(_t(spark, sf, "documents"), "text", "doc_id")
+        return out.withColumns(
+            {c: F.col(c).cast("long") for c in ("score_en", "score_de", "score_fr")}
+        )
+
+    q["lang_id"] = q_lang_id
+
+    def q_token_count(spark, sf):
+        from etlbox_spark.operators.textstats import bpe_ish_token_count, token_count
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_ws"),
+            bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        )
+
+    q["token_count"] = q_token_count
+
+    # rows-only (non-SQL-expressible: xxhash64 permutations / blake2b bits)
+    def q_dedup_minhash_lsh(spark, sf):
+        d = _t(spark, sf, "documents")
+        cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=16, bands=4)
+        return ngram_jaccard(cand, d, "doc_id", "text").select(
+            "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+
+    q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
+
+    def q_dedup_simhash(spark, sf):
+        return simhash_near_dups(_t(spark, sf, "documents"), "doc_id", "text", bands=4)
+
+    q["dedup_simhash"] = q_dedup_simhash
+
+    # ---- training-data ops: embeddings
+    def q_ann_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+        return cosine_topk(e, "embedding", qv, k=10).select(
+            "vec_id", F.round("sim", 6).alias("sim")
+        )
+
+    q["ann_cosine_topk"] = q_ann_cosine_topk
+
+    def q_embedding_near_dups_exact(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+        return (
+            a.join(b, a.id_a < b.id_b)
+            .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+            .where(F.col("cos") >= 0.42)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        )
+
+    q["embedding_near_dups_exact"] = q_embedding_near_dups_exact
+
+    def q_embedding_near_dups_lsh(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return cosine_near_dup_pairs(e, "embedding", threshold=0.42, n_planes=4).select(
+            "id_a", "id_b", F.round("cos", 6).alias("cos")
+        )
+
+    q["embedding_near_dups_lsh"] = q_embedding_near_dups_lsh
+
+    def q_ann_ivf_topk(spark, sf):
+        from etlbox_spark.operators.similarity import ivf_assign, ivf_topk, sample_centroids
+
+        e = _t(spark, sf, "embeddings")
+        cents = sample_centroids(e, "embedding", 8)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+        assigned = ivf_assign(e, "embedding", cents)
+        return ivf_topk(assigned, "embedding", qv, cents, k=5, n_probe=2).select(
+            "vec_id", F.round("sim", 6).alias("sim")
+        )
+
+    q["ann_ivf_topk"] = q_ann_ivf_topk
+
+    # ---- multimodal plumbing
+    def q_multimodal_meta(spark, sf):
+        m = media_from_documents(_t(spark, sf, "documents"))
+        return m.select("media_id", "modality", F.octet_length("payload").cast("long").alias("byte_len"))
+
+    q["multimodal_meta"] = q_multimodal_meta
+
+    def q_multimodal_features(spark, sf):
+        m = media_from_documents(_t(spark, sf, "documents"))
+        f = extract_features(m, dim=8)
+        return f.select("media_id", "modality", "byte_len", F.round(F.element_at("feat", 1), 6).alias("feat0"))
+
+    q["multimodal_features"] = q_multimodal_features
+
+    def q_frame_sample(spark, sf):
+        m = media_from_documents(_t(spark, sf, "documents"))
+        return frame_sample_plan(m, every_ms=100)
+
+    q["frame_sample"] = q_frame_sample
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["row_transformation"] = """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 4) AS revenue
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
     """
-    return {}
+    o["row_duplication"] = """
+      SELECT r_regionkey, r_name FROM region
+      UNION ALL
+      SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3
+    """
+    o["row_multiplication"] = """
+      SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word FROM part
+    """
+    o["column_rename"] = """
+      SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
+      FROM nation
+    """
+    o["lookup"] = """
+      SELECT c_custkey, c_name, n.n_name AS nation_name
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """
+    o["merge_join"] = """
+      SELECT o_orderkey, o_totalprice, c_name
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+    o["merge_join_positional"] = """
+      WITH l AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS pos FROM region),
+           r AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS pos
+                 FROM nation WHERE n_nationkey < 5)
+      SELECT l.r_name, r.n_name FROM l JOIN r USING (pos)
+    """
+    o["cross_join"] = """
+      SELECT n_name, r_name FROM nation CROSS JOIN region
+    """
+    o["multicast"] = """
+      SELECT 'segment' AS branch, c_mktsegment AS key, count(*) AS n
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'nation' AS branch, CAST(c_nationkey AS VARCHAR) AS key, count(*) AS n
+      FROM customer GROUP BY c_nationkey
+    """
+    o["conditional_split"] = """
+      SELECT 'open' AS branch, count(*) AS n FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'other' AS branch, count(*) AS n FROM orders
+      WHERE NOT coalesce(o_orderstatus = 'O', FALSE)
+    """
+    o["aggregation"] = """
+      SELECT s_nationkey, round(sum(s_acctbal), 2) AS total_bal,
+             min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+             count(s_suppkey) AS n
+      FROM supplier GROUP BY s_nationkey
+    """
+    o["q1_pricing_summary"] = """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    """
+    o["block_transformation"] = """
+      SELECT event_id, round(value - (SELECT avg(value) FROM events), 4) AS value_centered
+      FROM events
+    """
+    o["sort"] = """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """
+    o["distinct"] = """
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """
+    o["set_intersect"] = """
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+    """
+    o["set_except"] = """
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    """
+    o["top_k_per_group"] = """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+      QUALIFY rk <= 3
+    """
+    o["window_running"] = """
+      SELECT l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                   RANGE UNBOUNDED PRECEDING) AS running_qty
+      FROM lineitem
+    """
+    o["pivot"] = """
+      SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+             sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+      FROM lineitem GROUP BY l_returnflag
+    """
+    o["rollup"] = """
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+    o["sessionize"] = """
+      WITH g AS (
+        SELECT user_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+      )
+      SELECT user_id, sum(new_s) + 1 AS n_sessions FROM g GROUP BY user_id
+    """
+    o["dedupe_lww"] = """
+      SELECT user_id, event_type, event_id, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY event_id DESC) = 1
+    """
+    o["cdc_merge_full"] = _CDC_ORACLE_TMPL.format(s_only="'delete'", tomb_hit="'delete'")
+    o["cdc_merge_delta"] = _CDC_ORACLE_TMPL.format(s_only="NULL", tomb_hit="'delete'")
+    # NO_DELETIONS suppresses every would-be delete (tombstone hits incl.)
+    # and records it as an existence flag
+    o["cdc_merge_no_deletions"] = _CDC_ORACLE_TMPL.format(s_only="'exists'", tomb_hit="'exists'")
+
+    _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    o["dedup_exact"] = f"""
+      SELECT min(doc_id) AS doc_id, sha256({_NORM}) AS fingerprint,
+             count(*) AS dup_count
+      FROM documents GROUP BY 2
+    """
+    o["doc_fingerprint"] = f"""
+      SELECT doc_id, sha256({_NORM}) AS fingerprint FROM documents
+    """
+    _TOKS = f"string_split({_NORM}, ' ')"
+    _PUNCT = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    _NTOK = "len(string_split_regex(trim(text), '\\s+'))"
+    o["text_quality"] = f"""
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             {_NTOK} AS n_tokens,
+             round({_PUNCT} / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter({_TOKS},
+                   x -> x IN ('the','and','of','to','a')))
+                   / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+             ({_NTOK} >= 5 AND length(text) >= 30
+              AND {_PUNCT} / greatest(length(text), 1) <= 0.2) AS quality_ok
+      FROM documents
+    """
+    o["lang_id"] = f"""
+      WITH s AS (
+        SELECT doc_id,
+               len(list_filter({_TOKS}, x -> x IN ('the','and','of','to','a'))) AS score_en,
+               len(list_filter({_TOKS}, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+               len(list_filter({_TOKS}, x -> x IN ('le','la','et','les','des'))) AS score_fr
+        FROM documents
+      )
+      SELECT doc_id, score_en, score_de, score_fr,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+                  WHEN score_de >= score_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM s
+    """
+    o["token_count"] = f"""
+      SELECT doc_id,
+             {_NTOK} AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+      FROM documents
+    """
+    _COS = (
+        "list_dot_product(a, b) / "
+        "(sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b)))"
+    )
+    o["ann_cosine_topk"] = f"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round({_COS}, 6) AS sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), q
+      ORDER BY {_COS} DESC, vec_id LIMIT 10
+    """
+    o["embedding_near_dups_exact"] = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT id_a, id_b, round(cos_v, 6) AS cos FROM (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos_v
+        FROM e x JOIN e y ON x.vec_id < y.vec_id
+      ) WHERE cos_v >= 0.42
+    """
+    o["multimodal_meta"] = """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             strlen(text) AS byte_len
+      FROM documents
+    """
+    o["frame_sample"] = """
+      WITH v AS (
+        SELECT doc_id AS media_id, strlen(text) AS bl FROM documents WHERE doc_id % 3 = 2
+      ), f AS (
+        SELECT media_id,
+               unnest(generate_series(0, greatest(CAST(floor(bl / 100) AS INT), 1) - 1))
+                 AS frame_idx
+        FROM v
+      )
+      SELECT media_id, frame_idx, frame_idx * 100 AS frame_ts_ms FROM f
+    """
+    return o

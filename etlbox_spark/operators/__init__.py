@@ -1,0 +1,25 @@
+from .aggregate import aggregation, block_transformation, distinct, sort
+from .branch import conditional_split, multicast
+from .dedupe import dedupe_lww, exact_dedup, top_k_per_group
+from .joins import cross_join, lookup, merge_join, merge_join_positional
+from .rows import column_rename, row_duplication, row_multiplication, row_transformation
+
+__all__ = [
+    "aggregation",
+    "block_transformation",
+    "column_rename",
+    "conditional_split",
+    "cross_join",
+    "dedupe_lww",
+    "distinct",
+    "exact_dedup",
+    "lookup",
+    "merge_join",
+    "merge_join_positional",
+    "multicast",
+    "row_duplication",
+    "row_multiplication",
+    "row_transformation",
+    "sort",
+    "top_k_per_group",
+]

@@ -1,0 +1,33 @@
+"""Multicast / conditional routing (SURVEY.md §2.3-2.4).
+
+Reference parity: Multicast [U ETLBox/src/Toolbox/DataFlow/Multicast.cs]
+(TPL BroadcastBlock 1→N copy), and LinkTo(target, predicate) routing [K].
+
+In Spark a DataFrame is a lazy plan, so "multicast" is just reusing the
+plan; ``multicast`` optionally persists to avoid recomputing an expensive
+upstream for every branch action — the honest analog of the reference's
+buffered broadcast block.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def multicast(
+    df: DataFrame,
+    branches: Sequence[Callable[[DataFrame], DataFrame]],
+    persist: bool = True,
+) -> list[DataFrame]:
+    """Fan one stream out to N independent branch pipelines."""
+    src = df.persist() if persist else df
+    return [b(src) for b in branches]
+
+
+def conditional_split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
+    """LinkTo-predicate routing: (matching, non-matching). NULL predicate
+    rows go to the non-matching branch (SQL three-valued logic)."""
+    return df.where(predicate), df.where(~F.coalesce(predicate, F.lit(False)))

@@ -1,0 +1,67 @@
+"""Deduplication & ranking primitives.
+
+``dedupe_lww`` generalizes the engine's merge dedupe (SURVEY.md §2.6) to
+any (keys, order) pair; ``exact_dedup`` is the exact-duplicate stage of a
+training-data pipeline (hash-groupBy on content); ``top_k_per_group`` is
+the standard window idiom.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_lww(df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+    """Last-writer-wins: keep the row with the max (order_cols) tuple per
+    key. groupBy + max_by(struct) — partial-aggregating, unlike a window
+    (see engine/merge.py module doc for why this matters at 10^10 rows).
+    Ties broken by the struct ordering of ``order_cols``."""
+    keys = list(key_cols)
+    rest = [c for c in df.columns if c not in keys]
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*rest), ord_struct).alias("__last"))
+        .select(*keys, "__last.*")
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    normalize: Column | None = None,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Exact near-free dedup: sha256 fingerprint of (optionally
+    normalized) content, keep the lowest id per fingerprint. One shuffle
+    on the fingerprint; survivors carry the duplicate count."""
+    src = normalize if normalize is not None else F.col(content_col)
+    with_fp = df.withColumn(fingerprint_col, F.sha2(src.cast("string"), 256))
+    return (
+        with_fp.groupBy(fingerprint_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, fingerprint_col, "dup_count")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-K per group via row_number window. Order columns must make the
+    ranking deterministic (include a unique tiebreaker)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

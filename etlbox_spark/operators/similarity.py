@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operators (not in the reference — ETLBox has no
+vector types). Dot products are Catalyst higher-order functions
+(zip_with + aggregate), JVM-side; no Python in the row path.
+
+Scale design:
+* ``cosine_topk`` (brute force) broadcasts the query vector(s) and does a
+  single map + top-k — the exact baseline; O(rows·dim) with no shuffle
+  except the final top-k.
+* ``ivf_assign``/``ivf_topk`` is the scale path: k-means-style centroid
+  assignment (centroids sampled deterministically), search restricted to
+  the probe's nearest clusters — the IVF-Flat structure at lake scale
+  means the cluster id becomes a partition/bucket key and only matching
+  buckets are scanned.
+* ``cosine_near_dup_pairs`` buckets by LSH sign-bits before pairing —
+  never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (the exact
+    baseline). The query is a literal array → pure map stage + global
+    top-k (orderBy+limit lets Spark run per-partition top-k then merge)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias(sim_col))
+        .orderBy(F.col(sim_col).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    ``centroids`` is small (≤ a few hundred) → a literal array of arrays;
+    the argmax is a JVM expression over it. At 100 TB the cluster id is
+    the bucket key the table is laid out on."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn(cluster_col, best.cast("int"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """IVF search: rank centroids by similarity to the query, scan only
+    the ``n_probe`` nearest clusters, exact top-k within them."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec))
+    probe = order[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("cluster").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias(sim_col))
+        .orderBy(F.col(sim_col).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sample_centroids(df: DataFrame, vec_col: str, n: int, id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic centroid seed: the n vectors with the lowest ids
+    (stand-in for a k-means step; deterministic beats random here)."""
+    rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def lsh_sign_bucket(vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_i),
+    planes derived deterministically from xxhash64(seed, i, j) — built
+    entirely from expressions so the bucketing is reproducible and
+    JVM-side."""
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit(i), F.lit(j)), F.lit(2001)) - 1000).cast("double") / 1000.0
+            for j in range(dim)
+        ])
+        bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = F.shiftleft(out, 1) + b
+    return out
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH sign-bucket first (near-identical
+    vectors share all sign bits with high probability), exact cosine
+    within buckets, keep pairs ≥ threshold."""
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  lsh_sign_bucket(vec_col, n_planes, dim=dim).alias("bk"))
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bk")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bk")
+    return (
+        a.join(c, on="bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos").alias("cos"))
+    )

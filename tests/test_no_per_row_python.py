@@ -1,0 +1,42 @@
+"""Lint gate (SURVEY.md §7 hard #4, BASELINE.json:15): no per-row Python
+in the engine — no row-at-a-time F.udf, no rdd.map in etlbox_spark/."""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "etlbox_spark"
+
+BANNED = [
+    re.compile(r"\bF\.udf\("),
+    re.compile(r"@udf\b"),
+    re.compile(r"\.rdd\b"),
+    re.compile(r"\bflatMap\("),
+    re.compile(r"\bmapPartitions\("),
+]
+
+
+def test_no_per_row_python_in_package():
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        text = py.read_text()
+        for pat in BANNED:
+            for m in pat.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{py.relative_to(PKG.parent)}:{line}:{pat.pattern}")
+    assert not offenders, f"per-row Python constructs found: {offenders}"
+
+
+def test_collect_only_in_sanctioned_places():
+    """collect() is allowed only where it pulls bounded metadata (bucket
+    lists, centroids, test sinks) — flag any new usage for review."""
+    allowed = {"merge.py", "similarity.py", "__init__.py"}
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        if py.name in allowed:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" in line:
+                offenders.append(f"{py}:{i}")
+    assert not offenders, offenders

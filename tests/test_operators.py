@@ -1,0 +1,124 @@
+"""Operator-surface tests (SURVEY.md §2.3-2.5) + plan-shape assertions
+(§4: broadcast where expected, pushdown reaches the scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlbox_spark.operators import (
+    aggregation,
+    column_rename,
+    conditional_split,
+    cross_join,
+    dedupe_lww,
+    distinct,
+    exact_dedup,
+    lookup,
+    merge_join_positional,
+    multicast,
+    row_duplication,
+    row_multiplication,
+    row_transformation,
+    top_k_per_group,
+)
+from etlbox_spark.operators.aggregate import center_on_global_mean
+from etlbox_spark.plans import has_broadcast_join, has_pushed_filters, scan_read_schema
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(spark, name):
+    return spark.read.parquet(f"{SF}/{name}.parquet")
+
+
+def test_row_transformation_and_duplication(spark):
+    r = _t(spark, "region")
+    out = row_transformation(r, {"upper_name": F.upper("r_name")})
+    assert "upper_name" in out.columns
+    dup = row_duplication(r, predicate=F.col("r_regionkey") < 2)
+    assert dup.count() == r.count() + 2
+
+
+def test_row_multiplication_and_rename(spark):
+    p = _t(spark, "part").limit(10)
+    out = row_multiplication(p, "w", F.split("p_type", " "))
+    assert out.count() >= p.count()
+    ren = column_rename(p, {"p_partkey": "id"}, drop_unmapped=True)
+    assert ren.columns == ["id"]
+
+
+def test_lookup_broadcasts(spark):
+    c = _t(spark, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    n = _t(spark, "nation")
+    out = lookup(c, n, ["n_nationkey"], {"n_name": "nation_name"})
+    assert has_broadcast_join(out)
+    row = out.where(F.col("nation_name").isNull()).count()
+    assert row == 0  # every customer resolves
+
+
+def test_lookup_dedupes_lookup_side(spark):
+    n = _t(spark, "nation")
+    dup_lookup = n.union(n)  # duplicate keys in the dim
+    c = _t(spark, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    out = lookup(c, dup_lookup, ["n_nationkey"], ["n_name"])
+    assert out.count() == c.count()  # no fan-out
+
+
+def test_merge_join_positional(spark):
+    r = _t(spark, "region").select("r_regionkey", "r_name")
+    n = _t(spark, "nation").select("n_nationkey", "n_name").where("n_nationkey < 5")
+    out = merge_join_positional(r, n, ["r_regionkey"], ["n_nationkey"]).collect()
+    assert len(out) == 5
+
+
+def test_cross_join_and_split(spark):
+    r = _t(spark, "region")
+    n = _t(spark, "nation")
+    assert cross_join(n, r).count() == 125
+    hit, miss = conditional_split(n, F.col("n_regionkey") == 0)
+    assert hit.count() + miss.count() == 25
+
+
+def test_multicast_branches(spark):
+    c = _t(spark, "customer")
+    b1, b2 = multicast(c, [lambda d: d.groupBy("c_mktsegment").count(), lambda d: d.limit(3)])
+    assert b1.count() > 0 and b2.count() == 3
+    c.unpersist()
+
+
+def test_aggregation_and_center(spark):
+    s = _t(spark, "supplier")
+    agg = aggregation(s, ["s_nationkey"], {"n": ("count", "s_suppkey"), "bal": ("sum", "s_acctbal")})
+    assert agg.count() == s.select("s_nationkey").distinct().count()
+    ev = _t(spark, "events")
+    centered = center_on_global_mean(ev, "value", "vc")
+    m = centered.agg(F.abs(F.avg("vc")).alias("m")).collect()[0][0]
+    assert m < 1e-6  # centered mean ≈ 0
+
+
+def test_dedupe_and_topk(spark):
+    ev = _t(spark, "events")
+    d = dedupe_lww(ev, ["user_id", "event_type"], ["event_id"])
+    assert d.count() == ev.select("user_id", "event_type").distinct().count()
+    t = top_k_per_group(ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], 2)
+    assert t.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] <= 2
+    assert distinct(ev, ["event_type"]).count() == 5
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "unrelated")], "id long, txt string"
+    )
+    from etlbox_spark.operators.textdedup import normalize_text
+
+    out = exact_dedup(df, "txt", "id", normalize=normalize_text(F.col("txt"))).collect()
+    by_id = {r.id: r.dup_count for r in out}
+    assert by_id == {1: 2, 3: 1}  # 1 and 2 collapse after normalization
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = _t(spark, "lineitem").where(F.col("l_orderkey") == 5).select("l_orderkey", "l_quantity")
+    assert has_pushed_filters(li)
+    schemas = scan_read_schema(li)
+    # column pruning: scan must read only the two needed columns
+    assert schemas and all(len(s.split(",")) == 2 for s in schemas)

@@ -1,0 +1,124 @@
+"""Training-data operators: dedup (minhash/simhash/exact), text stats,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlbox_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    sample_centroids,
+)
+from etlbox_spark.operators.textdedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+    word_ngrams,
+)
+from etlbox_spark.operators.textstats import fingerprint, lang_id, quality_features
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, "der hund läuft und die katze ist das tier"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_dup(spark, near_dup_docs):
+    cand = minhash_lsh_candidates(near_dup_docs, "doc_id", "text", n_perm=16, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs
+    verified = ngram_jaccard(cand, near_dup_docs, "doc_id", "text")
+    j = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert j[(1, 2)] > 0.5
+
+
+def test_simhash_near_dup_and_determinism(spark, near_dup_docs):
+    out1 = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(near_dup_docs, "doc_id", "text").collect()}
+    out2 = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(near_dup_docs, "doc_id", "text").collect()}
+    assert out1 == out2  # deterministic across runs (blake2b, not hash())
+    if (1, 2) in out1:
+        assert out1[(1, 2)] <= 16
+
+
+def test_word_ngrams_shapes(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "t string")
+    out = df.select(F.size(word_ngrams(F.col("t"), 3)).alias("n")).collect()
+    assert [r.n for r in out] == [2, 1]  # 4 tokens → 2 trigrams; short text → whole-text shingle
+
+
+def test_lang_id_markers(spark, near_dup_docs):
+    out = {r.doc_id: r.lang_pred for r in lang_id(near_dup_docs, "text", "doc_id").collect()}
+    assert out[1] == "en" and out[4] == "de"
+
+
+def test_quality_and_fingerprint(spark, docs):
+    q = quality_features(docs, "text", "doc_id")
+    assert q.where(F.col("n_tokens") <= 0).count() == 0
+    fp = fingerprint(docs, "text", "doc_id")
+    assert fp.select("fingerprint").distinct().count() <= fp.count()
+    # fingerprint invariant under whitespace jitter
+    jitter = docs.withColumn("text", F.concat(F.lit("  "), F.col("text"), F.lit("   ")))
+    a = {r.doc_id: r.fingerprint for r in fp.collect()}
+    b = {r.doc_id: r.fingerprint for r in fingerprint(jitter, "text", "doc_id").collect()}
+    assert a == b
+
+
+def test_cosine_topk_self_first(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 3").collect()[0].embedding]
+    top = cosine_topk(emb, "embedding", qv, k=5).collect()
+    assert top[0].vec_id == 3 and abs(top[0].sim - 1.0) < 1e-9
+    assert all(top[i].sim >= top[i + 1].sim for i in range(len(top) - 1))
+
+
+def test_ivf_probe_subset_of_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sample_centroids(emb, "embedding", 4)
+    qv = [float(x) for x in emb.where("vec_id = 3").collect()[0].embedding]
+    assigned = ivf_assign(emb, "embedding", cents)
+    assert assigned.select("cluster").distinct().count() <= 4
+    got = ivf_topk(assigned, "embedding", qv, cents, k=3, n_probe=4).collect()
+    brute = cosine_topk(emb, "embedding", qv, k=3).collect()
+    # probing ALL clusters must equal brute force
+    assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+
+
+def test_cosine_near_dup_pairs_threshold(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    out = cosine_near_dup_pairs(df, "v", threshold=0.95, n_planes=4, dim=3).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    from etlbox_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        media_from_documents,
+    )
+
+    media = media_from_documents(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media, dim=8)
+    row = feats.first()
+    assert len(row.feat) == 8 and abs(sum(row.feat) - 1.0) < 1e-3
+    frames = frame_sample_plan(media, every_ms=100)
+    assert frames.where("frame_idx < 0").count() == 0
+    assert frames.groupBy("media_id").count().count() == media.where("modality = 'video'").count()
