@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6 / §7 M6) — the driver's feedback loop.
+
+Runs two workloads on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line to stdout:
+
+1. **Headline: CDC merge-apply replay** (the BASELINE.json metric).
+   Generates the deterministic synthetic binlog (seed 42, zipf repo skew,
+   duplicate delivery) scaled to SF — ``n_events = SF * 10^7`` — into a
+   scratch dir, then replays every epoch through the engine
+   (LWW dedupe → bucket-pruned full-outer classify → copy-on-write
+   commit → delta log) in DELTA (binlog) mode. Generation is setup and
+   is not timed; the replay wall time yields change-events/sec.
+2. **Operator queries** from ``__spark_entry__.queries()`` over the
+   driver's parquet tables at ``$SPARK_GRAFT_SF_DIR`` — a representative
+   subset covering joins, aggregation, windows, CDC classification, text
+   dedup, and ANN. Each is materialized via the noop sink (full plan
+   execution, no driver collect overhead).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR    input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS      local[] core count (default 32)
+  SPARK_GRAFT_BENCH_QUERIES=0   merge-replay only (used by the
+                                local[8]-vs-local[32] scaling harness,
+                                tools/bench_scaling.py)
+  SPARK_GRAFT_BENCH_EVENTS      override the event count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import types as T
+
+# representative operator subset (full inventory is checked for
+# correctness by tools/check_contract.py; bench times the headliners)
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "lookup",
+    "aggregation",
+    "top_k_per_group",
+    "window_running",
+    "sort",
+    "dedupe_lww",
+    "cdc_merge_full",
+    "cdc_merge_delta",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "token_count",
+    "lang_id",
+]
+
+REPO_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def _force(df) -> None:
+    """Materialize the whole plan without driver-side row transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
+    from etlbox_spark.engine.gen import gen_events, list_epochs, write_events
+    from etlbox_spark.engine.lake import LakeTable
+    from etlbox_spark.engine.runner import replay
+    from etlbox_spark.engine.spec import MergeMode, MergeSpec
+
+    work = tempfile.mkdtemp(prefix="etlbox_bench_")
+    try:
+        events_dir = os.environ.get("SPARK_GRAFT_BENCH_EVENTS_DIR")
+        if not events_dir:
+            n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", 0)) or max(
+                int(sf * 10_000_000), 10_000
+            )
+            # keyspace scales with the stream so the op mix stays CDC-like
+            events_dir = os.path.join(work, "events")
+            ev = gen_events(
+                spark,
+                n_events,
+                n_repos=max(50, n_events // 5_000),
+                paths_per_repo=500,
+                epoch_size=max(n_events // 5, 1),
+                seed=42,
+            )
+            write_events(ev, events_dir)  # setup: binlog landing, untimed
+
+        from pyspark.sql import functions as F
+
+        per_epoch_rows = {
+            int(r[0]): int(r[1])
+            for r in spark.read.parquet(events_dir).groupBy("epoch").count().collect()
+        }
+        n_events = sum(per_epoch_rows.values())  # delivered incl. dup re-delivery
+
+        lake = LakeTable.create(
+            os.path.join(work, "lake"),
+            schema=REPO_FILES_SCHEMA,
+            key_cols=["repo", "path"],
+            n_buckets=n_buckets,
+        )
+        spec = MergeSpec()  # (repo,path) keys, event_seq order, content compare
+        epoch_s: list[float] = []
+        actions: dict[str, int] = {}
+        epochs = list_epochs(events_dir)
+        for ep in epochs:
+            t0 = time.perf_counter()
+            (res,) = replay(
+                spark, lake, events_dir, spec, MergeMode.DELTA,
+                delta_dir=os.path.join(work, "delta"), epochs=[ep],
+            )
+            epoch_s.append(time.perf_counter() - t0)
+            for k, v in res.counts.items():
+                actions[k] = actions.get(k, 0) + v
+        wall = sum(epoch_s)
+        # sustained = steady state: epoch 0 carries JVM/codegen warm-up
+        sus_ev = sum(per_epoch_rows[e] for e in epochs[1:]) or n_events
+        sus_s = sum(epoch_s[1:]) or wall
+        final_rows = lake.row_count()
+        log(f"merge replay: {n_events} events / {len(epochs)} epochs in {wall:.1f}s"
+            f" = {n_events / wall:,.0f} ev/s total, {sus_ev / sus_s:,.0f} ev/s"
+            f" sustained; final table {final_rows} rows; actions {actions}")
+        return {
+            "n_events": n_events,
+            "n_epochs": len(epochs),
+            "wall_s": round(wall, 3),
+            "epoch_s": [round(x, 3) for x in epoch_s],
+            "events_per_sec": round(n_events / wall, 1),
+            "sustained_events_per_sec": round(sus_ev / sus_s, 1),
+            "final_rows": final_rows,
+            "actions": actions,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    run_queries = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
+    sf = _sf_of(sf_dir)
+
+    def log(msg: str) -> None:
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etlbox_spark.session import get_spark
+
+    spark = get_spark("etlbox_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    queries_s: dict[str, float] = {}
+
+    merge = bench_merge_replay(spark, sf, n_buckets=max(cpus, 32), log=log)
+    queries_s["merge_apply_replay"] = merge["wall_s"]
+
+    if run_queries:
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        for name in HEADLINE_QUERIES:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            queries_s[name] = round(dt, 3)
+            log(f"{name:24s} {dt:7.2f}s")
+
+    total = round(sum(queries_s.values()), 3)
+    out = {
+        "metric": "headline suite wall time (CDC merge-apply replay + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries_s,
+        "sf": sf,
+        "cpus": cpus,
+        "merge_apply": merge,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -205,13 +205,15 @@ def apply_epoch(
     payload_cols = [f.name for f in table_schema.fields if f.name not in spec.key_cols]
 
     batch = batch.persist()
-    touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+    # one job yields both the per-partition offsets (checkpoint lineage)
+    # and the touched-bucket set (snapshot pruning)
     offsets = {
         int(r[0]): {"max_seq": int(r[1]), "rows": int(r[2])}
         for r in batch.groupBy(BUCKET_COL)
         .agg(F.max(spec.seq_col), F.count(F.lit(1)))
         .collect()
     }
+    touched = sorted(offsets)
 
     # DELTA prunes the snapshot scan to touched buckets; FULL/NO_DELETIONS
     # must diff the entire table (semantics require it)
@@ -221,13 +223,20 @@ def apply_epoch(
     ins, upd, dele, exi = (a.value for a in (
         ChangeAction.INSERT, ChangeAction.UPDATE, ChangeAction.DELETE, ChangeAction.EXISTS))
 
-    counts = {r[0]: r[1] for r in j.where(F.col(ACTION_COL).isNotNull())
-              .groupBy(ACTION_COL).count().collect()}
-    changed = [
-        r[0]
-        for r in j.where(F.col(ACTION_COL).isin(ins, upd, dele))
-        .select(BUCKET_COL).distinct().collect()
-    ]
+    # one job yields both the per-action counts (metrics) and the set of
+    # buckets with at least one real change (copy-on-write scope)
+    counts: dict[str, int] = {}
+    changed_set: set[int] = set()
+    for b, a, c in (
+        j.where(F.col(ACTION_COL).isNotNull())
+        .groupBy(BUCKET_COL, ACTION_COL)
+        .count()
+        .collect()
+    ):
+        counts[a] = counts.get(a, 0) + c
+        if a in (ins, upd, dele):
+            changed_set.add(b)
+    changed = sorted(changed_set)
 
     new_rows = (
         j.where(F.col(BUCKET_COL).isin(changed) & F.col("__keep"))
