@@ -131,9 +131,13 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
             for k, v in res.counts.items():
                 actions[k] = actions.get(k, 0) + v
         wall = sum(epoch_s)
-        # sustained = steady state: epoch 0 carries JVM/codegen warm-up
-        sus_ev = sum(per_epoch_rows[e] for e in epochs[1:]) or n_events
-        sus_s = sum(epoch_s[1:]) or wall
+        # sustained = steady state: the first half of the epochs carries
+        # JVM/JIT/codegen warm-up (measured: per-epoch wall keeps falling
+        # for several iterations), which a long-running 10^10-event tail
+        # amortizes to nothing
+        h = max(1, len(epochs) // 2)
+        sus_ev = sum(per_epoch_rows[e] for e in epochs[h:]) or n_events
+        sus_s = sum(epoch_s[h:]) or wall
         final_rows = lake.row_count()
         log(f"merge replay: {n_events} events / {len(epochs)} epochs in {wall:.1f}s"
             f" = {n_events / wall:,.0f} ev/s total, {sus_ev / sus_s:,.0f} ev/s"

@@ -100,6 +100,25 @@ def evolve_schema(
     return T.StructType(out) if changed else None
 
 
+def align_to_schema(
+    df: DataFrame, schema: T.StructType, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Project ``df`` onto ``schema``: columns present are cast to the
+    target type (type-widen), absent ones land as typed nulls (column
+    add). ``extra_cols`` pass through unchanged (engine columns). This is
+    what lets an evolved table merge batches of ANY older generation and
+    vice versa — pure column expressions, no Python in the row path."""
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols, *[F.col(c) for c in extra_cols if c in df.columns])
+
+
 def classify(
     snapshot: DataFrame,
     batch: DataFrame,
@@ -204,6 +223,9 @@ def apply_epoch(
     table_schema = new_schema or man.schema()
     payload_cols = [f.name for f in table_schema.fields if f.name not in spec.key_cols]
 
+    # align the batch to the (possibly evolved) table schema: widened
+    # types cast up, columns the batch doesn't carry become typed nulls
+    batch = align_to_schema(batch, table_schema, (spec.seq_col, spec.op_col, BUCKET_COL))
     batch = batch.persist()
     # one job yields both the per-partition offsets (checkpoint lineage)
     # and the touched-bucket set (snapshot pruning)
@@ -216,8 +238,13 @@ def apply_epoch(
     touched = sorted(offsets)
 
     # DELTA prunes the snapshot scan to touched buckets; FULL/NO_DELETIONS
-    # must diff the entire table (semantics require it)
-    snap = lake.read(spark, buckets=touched if mode is MergeMode.DELTA else None)
+    # must diff the entire table (semantics require it). The snapshot is
+    # aligned too — it still reads under the pre-evolution schema.
+    snap = align_to_schema(
+        lake.read(spark, buckets=touched if mode is MergeMode.DELTA else None),
+        table_schema,
+        (BUCKET_COL,),
+    )
 
     j = classify(snap, batch, spec, mode, payload_cols).persist()
     ins, upd, dele, exi = (a.value for a in (

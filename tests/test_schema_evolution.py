@@ -1,0 +1,108 @@
+"""Mid-stream schema evolution through the merge core (SURVEY.md §7 M4;
+BASELINE.json:6 "applies schema evolution (column add/type-widen)").
+
+Epoch 0 lands the v1 shape; epoch 1 arrives with a new column and a
+widened type. apply_epoch must bump the table schema, null-backfill old
+rows on read, and keep merge semantics intact across the generations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from etlbox_spark.engine import LakeTable, MergeMode, MergeSpec, apply_epoch, evolve_schema
+
+BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("stars", T.IntegerType(), True),
+    ]
+)
+
+SPEC = MergeSpec(compare_cols=("content",))
+
+
+def _events_schema(extra=None, stars_type=T.IntegerType()):
+    fields = [
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("stars", stars_type, True),
+    ]
+    return T.StructType(fields + (extra or []))
+
+
+def test_evolve_schema_add_and_widen():
+    batch = _events_schema(
+        extra=[T.StructField("size_bytes", T.LongType(), True)],
+        stars_type=T.LongType(),
+    )
+    out = evolve_schema(BASE_SCHEMA, batch, SPEC)
+    assert out is not None
+    by_name = {f.name: f.dataType for f in out.fields}
+    assert by_name["size_bytes"] == T.LongType()          # column add
+    assert by_name["stars"] == T.LongType()               # int -> long widen
+    assert by_name["content"] == T.StringType()           # untouched
+    # engine columns (op, event_seq) never leak into the table schema
+    assert "op" not in by_name and "event_seq" not in by_name
+    # already-covered batch -> no-op
+    assert evolve_schema(out, batch, SPEC) is None
+
+
+def test_evolve_schema_never_narrows():
+    wide = T.StructType(
+        [f if f.name != "stars" else T.StructField("stars", T.LongType(), True)
+         for f in BASE_SCHEMA.fields]
+    )
+    narrow_batch = _events_schema(stars_type=T.IntegerType())
+    assert evolve_schema(wide, narrow_batch, SPEC) is None
+
+
+def test_mid_stream_column_add_and_widen(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), BASE_SCHEMA, ["repo", "path"], 4)
+
+    e0 = spark.createDataFrame(
+        [(1, "insert", "r0", "a.py", "v1", 3), (2, "insert", "r0", "b.py", "v1", 7)],
+        _events_schema(),
+    )
+    apply_epoch(spark, t, e0, SPEC, MergeMode.DELTA, 0)
+    assert t.manifest().current_schema_version == 1
+
+    # epoch 1: stars widened to long, size_bytes added; b.py updated
+    e1 = spark.createDataFrame(
+        [(3, "update", "r0", "b.py", "v2", 2**40, 123),
+         (4, "insert", "r0", "c.py", "v1", 1, 456)],
+        _events_schema(extra=[T.StructField("size_bytes", T.LongType(), True)],
+                       stars_type=T.LongType()),
+    )
+    apply_epoch(spark, t, e1, SPEC, MergeMode.DELTA, 1)
+
+    m = t.manifest()
+    assert m.current_schema_version == 2
+    by_name = {f.name: f.dataType for f in m.schema().fields}
+    assert by_name["stars"] == T.LongType()
+    assert by_name["size_bytes"] == T.LongType()
+
+    rows = {r.path: r for r in t.read(spark).collect()}
+    assert rows["b.py"].content == "v2" and rows["b.py"].stars == 2**40
+    assert rows["b.py"].size_bytes == 123
+    # a.py untouched in epoch 1: old-generation file aligned to new schema
+    assert rows["a.py"].stars == 3 and rows["a.py"].size_bytes is None
+    assert rows["c.py"].size_bytes == 456
+
+    # epoch 2 arrives back in the OLD shape (no size_bytes, int stars):
+    # schema stays v2, missing column lands as null for the new row
+    e2 = spark.createDataFrame(
+        [(5, "insert", "r0", "d.py", "v1", 9)], _events_schema(),
+    )
+    apply_epoch(spark, t, e2, SPEC, MergeMode.DELTA, 2)
+    assert t.manifest().current_schema_version == 2
+    rows = {r.path: r for r in t.read(spark).collect()}
+    assert rows["d.py"].size_bytes is None and rows["d.py"].stars == 9
+    # earlier generations still correct after the third write
+    assert rows["b.py"].size_bytes == 123 and rows["a.py"].size_bytes is None
