@@ -19,6 +19,8 @@ from etlbox_spark.engine.spec import MergeMode, MergeSpec
 from etlbox_spark.functions.hashing import bucket_expr
 from etlbox_spark.operators import (
     aggregation,
+    salted_aggregation,
+    salted_count_distinct,
     column_rename,
     conditional_split,
     cross_join,
@@ -257,6 +259,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["aggregation"] = q_aggregation
 
+    def q_salted_aggregation(spark, sf):
+        """Two-phase salted agg for zipf-hot keys (BASELINE.json:6 skew);
+        value-identical to the plain GROUP BY the oracle runs."""
+        ev = _t(spark, sf, "events")
+        totals = salted_aggregation(
+            ev,
+            ["event_type"],
+            partial_aggs=[F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+            merge_aggs=[F.round(F.sum("s"), 2).alias("total_value"),
+                        F.sum("c").cast("long").alias("n_events")],
+            salt_source="event_id",
+        )
+        uniq = salted_count_distinct(ev, ["event_type"], "user_id", out_col="n_users")
+        return totals.join(uniq, "event_type")
+
+    q["salted_aggregation"] = q_salted_aggregation
+
     def q_q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -319,6 +338,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("o_custkey", "o_orderkey", "o_totalprice", "rk")
 
     q["top_k_per_group"] = q_top_k_per_group
+
+    def q_set_union(spark, sf):
+        """Union = many sources LinkTo one destination (SURVEY.md §2.5)."""
+        c = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("k"), F.col("c_name").alias("name"),
+            F.lit("customer").alias("src"))
+        s = _t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("k"), F.col("s_name").alias("name"),
+            F.lit("supplier").alias("src"))
+        return c.unionByName(s)
+
+    q["set_union"] = q_set_union
+
+    def q_cube(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+
+    q["cube"] = q_cube
+
+    def q_xml_parse(spark, sf):
+        """XmlSource semantics via Spark 4 from_xml over string rows."""
+        from etlbox_spark.sources import xml_rows
+        from pyspark.sql import types as T
+
+        n = _t(spark, sf, "nation").select(
+            "n_nationkey",
+            F.format_string(
+                "<row><key>%s</key><name>%s</name></row>", "n_nationkey", "n_name"
+            ).alias("xml"),
+        )
+        xs = T.StructType([T.StructField("key", T.LongType()),
+                           T.StructField("name", T.StringType())])
+        return xml_rows(n, "xml", xs, out_prefix="x_")
+
+    q["xml_parse"] = q_xml_parse
 
     def q_window_running(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -553,6 +611,26 @@ def oracle_sql() -> dict[str, str]:
              min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
              count(s_suppkey) AS n
       FROM supplier GROUP BY s_nationkey
+    """
+    o["set_union"] = """
+      SELECT c_custkey AS k, c_name AS name, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_suppkey AS k, s_name AS name, 'supplier' AS src FROM supplier
+    """
+    o["cube"] = """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+    # the engine builds the XML strings from nation and parses them back;
+    # the oracle states the expected round-trip directly
+    o["xml_parse"] = """
+      SELECT n_nationkey, n_nationkey AS x_key, n_name AS x_name FROM nation
+    """
+    o["salted_aggregation"] = """
+      SELECT event_type, round(sum(value), 2) AS total_value,
+             count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type
     """
     o["q1_pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,

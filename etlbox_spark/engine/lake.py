@@ -241,8 +241,12 @@ class LakeTable:
         one directory per bucket; return manifest file entries."""
         out = os.path.join(self._data_dir, commit_dir_name)
         (
+            # range-partition on bucket: ~one reducer per bucket (hash
+            # repartition collides buckets onto shared reducers, leaving
+            # stragglers + idle slots), so partitionBy emits one file per
+            # bucket per commit and the manifest stays compact
             df.withColumn(_WRITE_PARTITION_COL, F.col(BUCKET_COL))
-            .repartition(F.col(BUCKET_COL))
+            .repartitionByRange(F.col(BUCKET_COL))
             .write.partitionBy(_WRITE_PARTITION_COL)
             .parquet(out)
         )

@@ -3,8 +3,13 @@ from .branch import conditional_split, multicast
 from .dedupe import dedupe_lww, exact_dedup, top_k_per_group
 from .joins import cross_join, lookup, merge_join, merge_join_positional
 from .rows import column_rename, row_duplication, row_multiplication, row_transformation
+from .skew import repartition_by_key, salted_aggregation, salted_count_distinct, with_salt
 
 __all__ = [
+    "repartition_by_key",
+    "salted_aggregation",
+    "salted_count_distinct",
+    "with_salt",
     "aggregation",
     "block_transformation",
     "column_rename",

@@ -87,6 +87,24 @@ def memory_destination(df: DataFrame) -> list:
     return df.collect()
 
 
+def xml_rows(
+    df: DataFrame, xml_col: str, schema: T.StructType, out_prefix: str = ""
+) -> DataFrame:
+    """XmlSource analog (SURVEY.md §2.1): no spark-xml connector ships
+    offline, but Spark 4's built-in ``from_xml`` parses an XML *string
+    column* against a struct schema — which covers the reference's
+    element-per-row semantics once rows are lines/strings. Malformed
+    rows yield nulls (validation-as-filter: pair with ``.where``)."""
+    from pyspark.sql import functions as F
+
+    parsed = df.withColumn("__x", F.from_xml(F.col(xml_col), schema))
+    keep = [c for c in df.columns if c != xml_col]
+    return parsed.select(
+        *keep,
+        *[F.col(f"__x.{f.name}").alias(f"{out_prefix}{f.name}") for f in schema.fields],
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """DbSource against a real database (needs a reachable JDBC url +
     driver jar; not exercisable in this sandbox)."""

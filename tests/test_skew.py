@@ -1,0 +1,72 @@
+"""Skew handling (BASELINE.json:6): salted two-phase aggregation must be
+value-identical to the single-shuffle aggregation, deterministic, and
+actually spread a hot key over multiple salts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlbox_spark.operators.skew import (
+    SALT_COL,
+    salted_aggregation,
+    salted_count_distinct,
+    with_salt,
+)
+
+
+def _skewed(spark, n=20_000):
+    # ~90% of rows land on repo_hot — a zipf-ish worst case
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("repo_hot"))
+        .otherwise(F.concat(F.lit("repo_"), (F.col("id") % 50).cast("string")))
+        .alias("repo"),
+        F.col("id").alias("event_seq"),
+        (F.col("id") % 997).cast("double").alias("value"),
+        F.concat(F.lit("p"), (F.col("id") % 300).cast("string")).alias("path"),
+    )
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        r.repo: (r.total, r.rows)
+        for r in df.groupBy("repo")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("rows"))
+        .collect()
+    }
+    salted = {
+        r.repo: (r.total, r.rows)
+        for r in salted_aggregation(
+            df,
+            ["repo"],
+            partial_aggs=[F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+            merge_aggs=[F.sum("s").alias("total"), F.sum("c").alias("rows")],
+            salt_source="event_seq",
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k][0] - salted[k][0]) < 1e-6 and plain[k][1] == salted[k][1]
+
+
+def test_salted_count_distinct_exact(spark):
+    df = _skewed(spark)
+    plain = {
+        r.repo: r.n
+        for r in df.groupBy("repo").agg(F.count_distinct("path").alias("n")).collect()
+    }
+    salted = {
+        r.repo: r.n_distinct
+        for r in salted_count_distinct(df, ["repo"], "path", n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_salt_spreads_hot_key_and_is_deterministic(spark):
+    df = _skewed(spark, n=5_000)
+    s1 = with_salt(df, "event_seq", 16)
+    hot = s1.where(F.col("repo") == "repo_hot").select(SALT_COL).distinct().count()
+    assert hot >= 8  # hot key really fans out across salts
+    a = sorted(r[0] for r in s1.select(SALT_COL).limit(200).collect())
+    b = sorted(r[0] for r in with_salt(df, "event_seq", 16).select(SALT_COL).limit(200).collect())
+    assert a == b  # no rand(): same input -> same salts, replay-safe

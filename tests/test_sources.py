@@ -1,0 +1,107 @@
+"""Source/sink parity surface (SURVEY.md §2.1-2.2): CsvSource/JsonSource/
+MemorySource + destinations re-expressed as reader/writer conveniences.
+Round-trips must preserve values under explicit schemas."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from etlbox_spark.engine import LakeTable, MergeMode, MergeSpec, apply_epoch
+from etlbox_spark.sources import (
+    lake_source,
+    memory_destination,
+    memory_source,
+    read_csv,
+    read_json,
+    read_parquet,
+    void_destination,
+    write_csv,
+    write_json,
+    write_text,
+    xml_rows,
+)
+
+from .conftest import EVENTS_SCHEMA, REPO_FILES_SCHEMA, ev
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+ROWS = [(1, "Test1", 1.5), (2, "Test2", -2.25), (3, "te,st3", 0.0)]
+
+
+def _sorted(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = memory_source(spark, ROWS, SCHEMA)
+    p = str(tmp_path / "csv")
+    write_csv(df, p)
+    back = read_csv(spark, p, schema=SCHEMA)
+    assert _sorted(memory_destination(back)) == _sorted(ROWS)
+
+
+def test_json_round_trip(spark, tmp_path):
+    df = memory_source(spark, ROWS, SCHEMA)
+    p = str(tmp_path / "json")
+    write_json(df, p)
+    back = read_json(spark, p, schema=SCHEMA)
+    assert _sorted(memory_destination(back)) == _sorted(ROWS)
+
+
+def test_text_destination_and_void(spark, tmp_path):
+    df = memory_source(spark, ROWS, SCHEMA).selectExpr("concat(name, '|', id) AS line")
+    p = str(tmp_path / "txt")
+    write_text(df, p)
+    lines = {r.value for r in spark.read.text(p).collect()}
+    assert lines == {"Test1|1", "Test2|2", "te,st3|3"}
+    assert void_destination(df) == 0
+
+
+def test_lake_source_reads_snapshot(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    rows = [ev(1, "insert", "p1", "Test1"), ev(2, "insert", "p2", "Test2")]
+    apply_epoch(spark, t, spark.createDataFrame(rows, EVENTS_SCHEMA),
+                MergeSpec(compare_cols=("content",)), MergeMode.DELTA, 0)
+    got = {(r.repo, r.path): r.content for r in lake_source(spark, str(tmp_path / "t")).collect()}
+    assert got == {("r0", "p1"): "Test1", ("r0", "p2"): "Test2"}
+
+
+def test_xml_rows_parse_and_validate(spark):
+    xml_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    rows_schema = T.StructType(
+        [T.StructField("src", T.StringType()), T.StructField("xml", T.StringType())]
+    )
+    df = memory_source(
+        spark,
+        [
+            ("a", "<row><id>1</id><name>Test1</name></row>"),
+            ("b", "<row><id>2</id><name>Test2</name></row>"),
+            ("c", "<row><id>oops</id></row>"),  # malformed id -> null
+        ],
+        rows_schema,
+    )
+    try:
+        out = xml_rows(df, "xml", xml_schema)
+    except Exception:  # pragma: no cover - from_xml missing on old Spark
+        import pytest
+
+        pytest.skip("from_xml unavailable")
+    got = {(r.src, r.id, r.name) for r in out.collect()}
+    assert ("a", 1, "Test1") in got and ("b", 2, "Test2") in got
+    assert sum(1 for r in got if r[1] is None) == 1  # invalid row flagged, not dropped
+
+
+def test_read_parquet_with_schema(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    memory_source(spark, ROWS, SCHEMA).write.parquet(p)
+    narrow = T.StructType([T.StructField("id", T.LongType(), False)])
+    back = read_parquet(spark, p, schema=narrow)
+    assert back.columns == ["id"]
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]

@@ -55,6 +55,8 @@ def run(cmd: list[str], env: dict[str, str]) -> str:
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * (int(sys.argv[3]) if len(sys.argv) > 3 else 8)
     events_dir = os.path.join(SCRATCH, f"events_{n_events}_{n_epochs}")
 
     base_env = {k: v for k, v in os.environ.items()}
@@ -80,7 +82,7 @@ def main() -> None:
         run([sys.executable, "-c", gen_code], base_env)
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_small, n_big):
         env = dict(base_env)
         env.update(
             SPARK_GRAFT_CPUS=str(cpus),
@@ -93,47 +95,28 @@ def main() -> None:
               f" ev/s sustained ({results[cpus]['events_per_sec']:,.0f} total)",
               file=sys.stderr, flush=True)
 
-    t8 = results[8]["sustained_events_per_sec"]
-    t32 = results[32]["sustained_events_per_sec"]
-    eff = (t32 / t8) / 4
+    ts = results[n_small]["sustained_events_per_sec"]
+    tb = results[n_big]["sustained_events_per_sec"]
+    ratio = n_big / n_small
+    eff = (tb / ts) / ratio
     summary = {
-        "n_events": results[32]["n_events"],
+        "n_events": results[n_big]["n_events"],
         "n_epochs": n_epochs,
-        "local8_events_per_sec": t8,
-        "local32_events_per_sec": t32,
-        "speedup_8_to_32": round(t32 / t8, 3),
+        "pair": [n_small, n_big],
+        f"local{n_small}_events_per_sec": ts,
+        f"local{n_big}_events_per_sec": tb,
+        "speedup": round(tb / ts, 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
         "detail": results,
     }
     print(json.dumps(summary))
-
-    with open(os.path.join(REPO, "BENCH.md"), "w", encoding="utf-8") as f:
-        f.write(f"""# BENCH — merge-apply throughput & scaling efficiency
-
-North rule (BASELINE.json): sustained merge-apply throughput with
-**scaling efficiency >= 0.8 from N to 4N executors**. Sandbox proxy (no
-real cluster): same job, same pre-generated input, `local[8]` vs
-`local[32]`, fresh JVM each, sustained = steady-state epochs (epoch 0
-excluded: JVM/codegen warm-up a long-running binlog tail never sees).
-
-| config | events | epochs | sustained ev/s | total ev/s | wall s |
-|---|---|---|---|---|---|
-| local[8]  | {results[8]['n_events']:,} | {n_epochs} | {t8:,.0f} | {results[8]['events_per_sec']:,.0f} | {results[8]['wall_s']} |
-| local[32] | {results[32]['n_events']:,} | {n_epochs} | {t32:,.0f} | {results[32]['events_per_sec']:,.0f} | {results[32]['wall_s']} |
-
-**Speedup 8 -> 32 cores: {t32 / t8:.2f}x; scaling efficiency = ({t32:,.0f} / {t8:,.0f}) / 4 = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
-
-Per-epoch wall seconds:
-
-* local[8]:  {results[8]['epoch_s']}
-* local[32]: {results[32]['epoch_s']}
-
-Reproduce: `python tools/bench_scaling.py {n_events} {n_epochs}`
-(events cached under {SCRATCH}).
-""")
-    print(f"[scaling] wrote BENCH.md (efficiency={eff:.3f})", file=sys.stderr)
+    out_json = os.path.join(REPO, f"BENCH_SCALING_{n_small}_{n_big}.json")
+    with open(out_json, "w", encoding="utf-8") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[scaling] wrote {out_json} (efficiency={eff:.3f}; "
+          f"see BENCH.md for the consolidated report)", file=sys.stderr)
 
 
 if __name__ == "__main__":
