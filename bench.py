@@ -88,8 +88,11 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
     try:
         events_dir = os.environ.get("SPARK_GRAFT_BENCH_EVENTS_DIR")
         if not events_dir:
+            # 4e7 * SF (4M at sf0.1): epochs big enough that per-epoch
+            # fixed costs (driver round-trips, commit protocol) amortize
+            # the way they do at design scale
             n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", 0)) or max(
-                int(sf * 10_000_000), 10_000
+                int(sf * 40_000_000), 20_000
             )
             # keyspace scales with the stream so the op mix stays CDC-like
             events_dir = os.path.join(work, "events")
