@@ -72,7 +72,11 @@ def ivf_assign(
     the bucket key the table is laid out on."""
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
-    best = F.array_position(sims, F.array_max(sims)) - 1
+    # bind sims once — array_position + array_max referencing the
+    # transform directly would inline (and recompute) it twice
+    best = F.element_at(
+        F.transform(F.array(sims), lambda s: F.array_position(s, F.array_max(s)) - 1), 1
+    )
     return df.withColumn(cluster_col, best.cast("int"))
 
 
@@ -143,14 +147,19 @@ def cosine_near_dup_pairs(
     """Embedding near-dup pairs: LSH sign-bucket first (near-identical
     vectors share all sign bits with high probability), exact cosine
     within buckets, keep pairs ≥ threshold."""
+    # per-row norms computed ONCE before the pair join: inside a bucket of
+    # m rows each vector joins ~m pairs, so norm-per-pair would redo
+    # O(m·dim) work per vector
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  _norm(F.col(vec_col)).alias("nv"),
                   lsh_sign_bucket(vec_col, n_planes, dim=dim).alias("bk"))
-    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bk")
-    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bk")
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nv").alias("nv_a"), "bk")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nv").alias("nv_b"), "bk")
     return (
         a.join(c, on="bk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .select("id_a", "id_b",
+                (_dot(F.col("v_a"), F.col("v_b")) / (F.col("nv_a") * F.col("nv_b"))).alias("cos"))
         .where(F.col("cos") >= threshold)
         .groupBy("id_a", "id_b")
         .agg(F.max("cos").alias("cos"))

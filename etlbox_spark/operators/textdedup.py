@@ -28,24 +28,47 @@ def normalize_text(col: Column) -> Column:
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Array of word n-gram strings (shingles)."""
+    """Array of word n-gram strings (shingles).
+
+    The token array is bound ONCE as a lambda variable (via the
+    single-element ``transform(array(toks), t -> ...)`` trick): naively
+    referencing ``toks`` inside the per-element lambda re-inlines the
+    whole split+regex subtree into EVERY element — higher-order
+    functions defeat codegen subexpression elimination, which measured
+    ~10x slower on ~50-token documents."""
     toks = F.split(normalize_text(col), " ")
-    # sliding window via transform over index range
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) < n, F.array(normalize_text(col))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def minhash_signature(shingles: Column, n_perm: int = 32, seed: int = 42) -> Column:
-    """MinHash signature: array of n_perm min-hashes. Each permutation is
-    xxhash64(shingle, perm_seed); array_min over the transformed shingle
-    array — all whole-stage-codegen."""
-    mins = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
-        for i in range(n_perm)
-    ]
-    return F.array(*mins)
+    """MinHash signature: array of n_perm min-hashes, whole-stage-codegen.
+
+    The shingle STRINGS are hashed exactly once (``xxhash64`` over
+    variable-length text is the expensive part); each permutation then
+    re-hashes the resulting 64-bit values (fixed-width, ~ns) — O(S)
+    string hashes + O(S·perms) long hashes instead of O(S·perms) string
+    hashes. Long-multiply affine permutations would be cheaper still but
+    overflow throws under ANSI mode (Spark 4 default); xxhash64 on longs
+    is overflow-free and deterministic."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+
+    def build(bs: Column) -> Column:
+        # bs binds the hashed-shingle array ONCE (see word_ngrams note —
+        # referencing `base` in all n_perm transforms would inline the
+        # string-hash pass n_perm times)
+        return F.array(*[
+            F.array_min(F.transform(bs, lambda h, i=i: F.xxhash64(h, F.lit(seed + i))))
+            for i in range(n_perm)
+        ])
+
+    return F.element_at(F.transform(F.array(base), build), 1)
 
 
 def minhash_lsh_candidates(
@@ -76,10 +99,11 @@ def minhash_lsh_candidates(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.element_at("sig", b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ])).alias("bhash"),
+                    # variadic xxhash64 over the band's longs — no string
+                    # building in the hot path
+                    F.xxhash64(*[
+                        F.element_at("sig", b * rows + r + 1) for r in range(rows)
+                    ]).alias("bhash"),
                 )
                 for b in range(bands)
             ])
