@@ -254,16 +254,21 @@ def apply_epoch(
     ins, upd, dele, exi = (a.value for a in (
         ChangeAction.INSERT, ChangeAction.UPDATE, ChangeAction.DELETE, ChangeAction.EXISTS))
 
-    # one job yields both the per-action counts (metrics) and the set of
-    # buckets with at least one real change (copy-on-write scope)
+    # The delta log is written FIRST; per-action counts (metrics) and the
+    # changed-bucket set (copy-on-write scope) are then derived from the
+    # small delta file instead of a separate aggregation over the join —
+    # one fewer execution of the classify reduce per epoch, and the delta
+    # log can no longer be lost in a crash after the commit (re-running a
+    # committed epoch is a marker no-op, so a delta written after the
+    # commit would never be retried).
+    delta = j.where(F.col(ACTION_COL).isNotNull()).drop("__keep")
+    if delta_dir is not None:
+        dpath = f"{delta_dir}/epoch={epoch_id}"
+        delta.write.mode("overwrite").parquet(dpath)
+        delta = spark.read.parquet(dpath)
     counts: dict[str, int] = {}
     changed_set: set[int] = set()
-    for b, a, c in (
-        j.where(F.col(ACTION_COL).isNotNull())
-        .groupBy(BUCKET_COL, ACTION_COL)
-        .count()
-        .collect()
-    ):
+    for b, a, c in delta.groupBy(BUCKET_COL, ACTION_COL).count().collect():
         counts[a] = counts.get(a, 0) + c
         if a in (ins, upd, dele):
             changed_set.add(b)
@@ -274,14 +279,6 @@ def apply_epoch(
         .select(*spec.key_cols, *payload_cols, BUCKET_COL)
     )
     version = lake.commit_buckets(new_rows, changed, epoch_id, new_schema=new_schema)
-
-    if delta_dir is not None:
-        (
-            j.where(F.col(ACTION_COL).isNotNull())
-            .drop("__keep")
-            .write.mode("overwrite")
-            .parquet(f"{delta_dir}/epoch={epoch_id}")
-        )
     return MergeResult(
         epoch_id=epoch_id,
         version=version,
