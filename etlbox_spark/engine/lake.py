@@ -350,6 +350,76 @@ class LakeTable:
         self._publish(nm)
         return nm.version
 
+    # -------------------------------------------------------- maintenance
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
+        """Change the key-hash bucket count (layout evolution).
+
+        Copy-on-write commits replace whole buckets, so this table never
+        fragments within a bucket (≤ 1 live file each) — the maintenance
+        op that matters at scale is instead growing the bucket count as
+        the table grows (32 buckets at GBs vs thousands at 100 TB: a
+        bucket is the unit of commit rewrite, snapshot pruning and merge
+        parallelism). Rewrites every row under the new bucket function in
+        one atomic commit; logical content untouched, epoch markers
+        preserved, so subsequent merges are unaffected. Crash mid-way
+        leaves the old manifest live (orphans reclaimed by vacuum).
+        """
+        from ..functions.hashing import bucket_expr
+
+        m = self.manifest()
+        if new_n_buckets == m.n_buckets:
+            return m.version
+        df = self.read(spark, with_bucket=False).withColumn(
+            BUCKET_COL, bucket_expr(new_n_buckets, *m.key_cols)
+        )
+        new_ver = m.version + 1
+        entries = self._write_data(df, f"rebucket-v{new_ver}")
+        for e in entries:
+            e["schema_version"] = m.current_schema_version
+        nm = Manifest(
+            version=new_ver,
+            key_cols=m.key_cols,
+            n_buckets=new_n_buckets,
+            current_schema_version=m.current_schema_version,
+            schemas=dict(m.schemas),
+            files=entries,
+            committed_epochs=list(m.committed_epochs),
+            parent=m.version,
+            properties=m.properties,
+        )
+        self._publish(nm)
+        return new_ver
+
+    def vacuum(self, keep_versions: int = 1) -> dict[str, int]:
+        """Delete data files referenced only by manifests older than the
+        newest ``keep_versions`` (Iceberg expire_snapshots + orphan-file
+        removal). Time travel remains possible within the kept window.
+        Returns {files_deleted, manifests_deleted, bytes_freed}."""
+        latest = self.latest_version()
+        keep = set(range(max(0, latest - keep_versions + 1), latest + 1))
+        referenced: set[str] = set()
+        for v in keep:
+            for e in self.manifest(v).files:
+                referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
+        stats = {"files_deleted": 0, "manifests_deleted": 0, "bytes_freed": 0}
+        for dirpath, _dirs, files in os.walk(self._data_dir):
+            for fn in files:
+                p = os.path.normpath(os.path.join(dirpath, fn))
+                if p not in referenced:
+                    stats["bytes_freed"] += os.path.getsize(p)
+                    os.remove(p)
+                    stats["files_deleted"] += 1
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    os.remove(os.path.join(self._meta_dir, fn))
+                    stats["manifests_deleted"] += 1
+        return stats
+
     # ------------------------------------------------------- introspection
     def row_count(self) -> int:
         """RowCountTask analog — manifest stats, no scan."""
