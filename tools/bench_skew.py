@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Skew-stress benchmark (BASELINE.json:6 hot-repo skew): replay the same
+stream at mild vs extreme zipf repo popularity and report throughput.
+The LWW dedupe's map-side partial aggregation should make hot keys
+cheaper, not slower — see BENCH.md "Skew stress"."""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from etlbox_spark.engine.gen import gen_events, write_events  # noqa: E402
+from etlbox_spark.engine.lake import LakeTable  # noqa: E402
+from etlbox_spark.engine.runner import replay  # noqa: E402
+from etlbox_spark.engine.spec import MergeMode, MergeSpec  # noqa: E402
+from etlbox_spark.session import get_spark  # noqa: E402
+
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
+SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in ["repo", "path", "commit", "lang", "content"]]
+)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    spark = get_spark("bench_skew", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for skew in (1.5, 4.0):
+        work = tempfile.mkdtemp(prefix=f"skew{skew}_", dir=SCRATCH)
+        try:
+            ev_dir = f"{work}/events"
+            write_events(
+                gen_events(spark, n, n_repos=1600, paths_per_repo=500,
+                           epoch_size=n // 4, skew=skew),
+                ev_dir,
+            )
+            ev = spark.read.parquet(ev_dir)
+            top = ev.groupBy("repo").count().orderBy(F.desc("count")).limit(1).collect()[0]
+            total = ev.count()
+            lake = LakeTable.create(f"{work}/lake", SCHEMA, ["repo", "path"], n_buckets=64)
+            t0 = time.perf_counter()
+            replay(spark, lake, ev_dir, MergeSpec(), MergeMode.DELTA, delta_dir=f"{work}/delta")
+            wall = time.perf_counter() - t0
+            print(
+                f"skew={skew}: hottest repo {top['repo']} = {top['count']:,}/{total:,}"
+                f" ({100 * top['count'] / total:.1f}%); replay {total / wall:,.0f} ev/s"
+                f" ({wall:.1f}s); final rows {lake.row_count():,}",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
