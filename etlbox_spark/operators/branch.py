@@ -4,9 +4,12 @@ Reference parity: Multicast [U ETLBox/src/Toolbox/DataFlow/Multicast.cs]
 (TPL BroadcastBlock 1→N copy), and LinkTo(target, predicate) routing [K].
 
 In Spark a DataFrame is a lazy plan, so "multicast" is just reusing the
-plan; ``multicast`` optionally persists to avoid recomputing an expensive
-upstream for every branch action — the honest analog of the reference's
-buffered broadcast block.
+plan. ``persist`` defaults to False: branch actions re-use the upstream's
+shuffle files via Spark's cross-job shuffle-stage reuse, and the columnar
+cache build measured 4-8x slower than recompute-with-reuse on this
+workload (see engine/merge.py module doc). Set ``persist=True`` only for
+an expensive NON-shuffle upstream (e.g. a pandas-UDF featurizer) fanned
+to many branches.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from pyspark.sql import functions as F
 def multicast(
     df: DataFrame,
     branches: Sequence[Callable[[DataFrame], DataFrame]],
-    persist: bool = True,
+    persist: bool = False,
 ) -> list[DataFrame]:
     """Fan one stream out to N independent branch pipelines."""
     src = df.persist() if persist else df
