@@ -276,6 +276,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_aggregation"] = q_salted_aggregation
 
+    def q_custom_agg_pandas(spark, sf):
+        """Custom AggregationAction via applyInPandas (SURVEY.md §2.9):
+        per-group midrange — Arrow grouped-map, oracle-checkable."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from etlbox_spark.operators.aggregate import grouped_pandas_agg
+
+        def midrange(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "s_nationkey": [pdf["s_nationkey"].iloc[0]],
+                # no round(): pandas rounds half-even, DuckDB half-away —
+                # (min+max)/2 alone is bit-identical IEEE on both sides
+                "mid_bal": [(pdf["s_acctbal"].min() + pdf["s_acctbal"].max()) / 2],
+                "n": [len(pdf)],
+            })
+
+        out = T.StructType([
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("mid_bal", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ])
+        return grouped_pandas_agg(_t(spark, sf, "supplier"), ["s_nationkey"], midrange, out)
+
+    q["custom_agg_pandas"] = q_custom_agg_pandas
+
+    def q_pandas_row_transform(spark, sf):
+        """RowTransformation escape hatch via mapInPandas (SURVEY.md §2.9),
+        value-identical to a SQL expression the oracle runs."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from etlbox_spark.operators.rows import pandas_transform
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame()
+            out["o_orderkey"] = pdf["o_orderkey"]
+            out["price_band"] = (pdf["o_totalprice"] // 50000).astype("int64")
+            return out
+
+        out_schema = T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price_band", T.LongType()),
+        ])
+        return pandas_transform(
+            _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"), fn, out_schema
+        )
+
+    q["pandas_row_transform"] = q_pandas_row_transform
+
     def q_q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -631,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
       SELECT event_type, round(sum(value), 2) AS total_value,
              count(*) AS n_events, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type
+    """
+    o["custom_agg_pandas"] = """
+      SELECT s_nationkey, (min(s_acctbal) + max(s_acctbal)) / 2 AS mid_bal,
+             count(*) AS n
+      FROM supplier GROUP BY s_nationkey
+    """
+    o["pandas_row_transform"] = """
+      SELECT o_orderkey, CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band
+      FROM orders
     """
     o["q1_pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,
