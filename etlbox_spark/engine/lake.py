@@ -247,7 +247,12 @@ class LakeTable:
             # bucket per commit and the manifest stays compact
             df.withColumn(_WRITE_PARTITION_COL, F.col(BUCKET_COL))
             .repartitionByRange(F.col(BUCKET_COL))
-            .write.partitionBy(_WRITE_PARTITION_COL)
+            # overwrite: until the manifest references this directory it
+            # is garbage by definition, and a crashed attempt leaves one
+            # behind — error-if-exists would make the RETRY of a failed
+            # epoch fail (found by tests/test_crash_injection.py)
+            .write.mode("overwrite")
+            .partitionBy(_WRITE_PARTITION_COL)
             .parquet(out)
         )
         entries: list[dict[str, Any]] = []

@@ -1,0 +1,109 @@
+"""Exactly-once under crash injection at the merge level (SURVEY.md §7
+hard #1; BASELINE.json:6 "replay after failure converges to the identical
+final table state").
+
+test_lake covers the rename-protocol window; here we kill apply_epoch
+itself between the data-file write and the manifest publish, and between
+the delta write and everything after, then re-run the epoch and the rest
+of the stream — final state must equal the pure-Python oracle exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etlbox_spark.engine import LakeTable, MergeMode, MergeSpec, apply_epoch
+from etlbox_spark.engine.lake import LakeTable as LT
+
+from .conftest import EVENTS_SCHEMA, REPO_FILES_SCHEMA, ev
+
+SPEC = MergeSpec(compare_cols=("content",))
+
+EPOCHS = [
+    [ev(1, "insert", "p1", "Test1"), ev(2, "insert", "p2", "Test2")],
+    [ev(3, "update", "p1", "Test1b"), ev(4, "insert", "p3", "Test3")],
+    [ev(5, "delete", "p2"), ev(6, "insert", "p4", "Test4")],
+]
+FINAL = {("r0", "p1"): "Test1b", ("r0", "p3"): "Test3", ("r0", "p4"): "Test4"}
+
+
+def _state(spark, t):
+    return {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+
+
+def _replay_all(spark, t, tmp_path):
+    for i, rows in enumerate(EPOCHS):
+        apply_epoch(spark, t, spark.createDataFrame(rows, EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, i, delta_dir=str(tmp_path / "d"))
+
+
+def test_crash_between_data_write_and_publish(spark, tmp_path, monkeypatch):
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    apply_epoch(spark, t, spark.createDataFrame(EPOCHS[0], EVENTS_SCHEMA),
+                SPEC, MergeMode.DELTA, 0, delta_dir=str(tmp_path / "d"))
+    v_before = t.latest_version()
+    state_before = _state(spark, t)
+
+    real_publish = LT._publish
+
+    def boom(self, m):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(LT, "_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_epoch(spark, t, spark.createDataFrame(EPOCHS[1], EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, 1, delta_dir=str(tmp_path / "d"))
+    monkeypatch.setattr(LT, "_publish", real_publish)
+
+    # the failed epoch is invisible: same version, same rows (orphan data
+    # files on disk are vacuum's problem, not correctness's)
+    assert t.latest_version() == v_before
+    assert _state(spark, t) == state_before
+
+    # resume: re-run the crashed epoch and the rest — exact convergence
+    for i in (1, 2):
+        apply_epoch(spark, t, spark.createDataFrame(EPOCHS[i], EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, i, delta_dir=str(tmp_path / "d"))
+    assert _state(spark, t) == FINAL
+    # orphans from the crashed attempt are reclaimable
+    stats = t.vacuum(keep_versions=1)
+    assert _state(spark, t) == FINAL
+    assert stats["files_deleted"] >= 0
+
+
+def test_crash_after_delta_write_before_commit(spark, tmp_path, monkeypatch):
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+
+    real_commit = LT.commit_buckets
+    calls = {"n": 0}
+
+    def flaky_commit(self, df, changed, epoch_id, new_schema=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash exactly on epoch 1's commit
+            raise RuntimeError("simulated crash after delta write")
+        return real_commit(self, df, changed, epoch_id, new_schema=new_schema)
+
+    monkeypatch.setattr(LT, "commit_buckets", flaky_commit)
+    apply_epoch(spark, t, spark.createDataFrame(EPOCHS[0], EVENTS_SCHEMA),
+                SPEC, MergeMode.DELTA, 0, delta_dir=str(tmp_path / "d"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_epoch(spark, t, spark.createDataFrame(EPOCHS[1], EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, 1, delta_dir=str(tmp_path / "d"))
+    monkeypatch.setattr(LT, "commit_buckets", real_commit)
+
+    # delta=epoch-1 exists on disk but the table ignored the epoch; the
+    # retry overwrites the delta and commits — byte-identical convergence
+    sha_before = None
+    for i in (1, 2):
+        apply_epoch(spark, t, spark.createDataFrame(EPOCHS[i], EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, i, delta_dir=str(tmp_path / "d"))
+    got = _state(spark, t)
+    assert got == FINAL
+    assert {
+        k: hashlib.sha256(v.encode()).hexdigest() for k, v in got.items()
+    } == {k: hashlib.sha256(v.encode()).hexdigest() for k, v in FINAL.items()}
+    # delta log for the retried epoch reflects the successful attempt
+    d1 = spark.read.parquet(str(tmp_path / "d" / "epoch=1"))
+    assert {r.action for r in d1.collect()} == {"update", "insert"}
