@@ -109,8 +109,8 @@ WITH snap AS (
          CASE
            WHEN b.op = 'delete' AND s.user_id IS NOT NULL THEN {tomb_hit}
            WHEN b.op = 'delete' THEN NULL
-           WHEN b.user_id IS NOT NULL AND s.user_id IS NULL THEN 'insert'
-           WHEN b.user_id IS NOT NULL AND s.value IS DISTINCT FROM b.value THEN 'update'
+           WHEN b.user_id IS NOT NULL AND s.user_id IS NULL THEN {ins_act}
+           WHEN b.user_id IS NOT NULL AND s.value IS DISTINCT FROM b.value THEN {upd_act}
            WHEN b.user_id IS NOT NULL THEN 'exists'
            ELSE {s_only}
          END AS action,
@@ -188,6 +188,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("c_custkey", "c_name", "nation_name")
 
     q["lookup"] = q_lookup
+
+    def q_lookup_partial(spark, sf):
+        """LookupTransformation partial-cache mode (2.x): dim side too big
+        to broadcast → shuffled sort-merge join behind the same API."""
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        return lookup(
+            o.select(F.col("o_orderkey"), F.col("o_custkey").alias("c_custkey")),
+            c,
+            match_cols=["c_custkey"],
+            retrieve_cols={"c_name": "cust_name", "c_mktsegment": "segment"},
+            cache_mode="partial",
+        ).select("o_orderkey", "cust_name", "segment")
+
+    q["lookup_partial"] = q_lookup_partial
 
     def q_merge_join(spark, sf):
         o = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
@@ -465,11 +480,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sessionize(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-        marked = ev.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+        # interval arithmetic, not unix_timestamp (which truncates to
+        # whole seconds): ts is timestamp[us] and the DuckDB oracle's
+        # epoch() keeps the microseconds, so a 1800s gap that only
+        # straddles the threshold at sub-second precision must classify
+        # identically on both sides
+        gap = F.col("ts") - F.lag("ts").over(w)
+        marked = ev.withColumn(
+            "new_s", F.when(gap > F.expr("INTERVAL 1800 SECONDS"), 1).otherwise(0)
+        )
         return marked.groupBy("user_id").agg((F.sum("new_s") + 1).alias("n_sessions"))
 
     q["sessionize"] = q_sessionize
+
+    def q_error_routing(spark, sf):
+        """LinkErrorTo parity (operators/errors.py): dirty string column
+        typed via try_cast; failing rows route to the error branch with a
+        reason; both branches unioned for the oracle."""
+        from etlbox_spark.operators.errors import cast_or_route
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0,
+                F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+            ).otherwise(F.col("doc_id").cast("string")).alias("raw"),
+        )
+        good, bad = cast_or_route(d, {"raw": "bigint"}, include_row_json=False)
+        g = good.select(
+            "doc_id", F.lit("good").alias("branch"), F.col("raw").alias("val"),
+            F.lit(None).cast("string").alias("error_reason"))
+        b = bad.select(
+            "doc_id", F.lit("error").alias("branch"), F.lit(None).cast("long").alias("val"),
+            "error_reason")
+        return g.unionByName(b)
+
+    q["error_routing"] = q_error_routing
 
     # ---- §2.6 CDC / merge family
     def q_dedupe_lww(spark, sf):
@@ -483,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_merge_full"] = _cdc_merge(MergeMode.FULL)
     q["cdc_merge_delta"] = _cdc_merge(MergeMode.DELTA)
     q["cdc_merge_no_deletions"] = _cdc_merge(MergeMode.NO_DELETIONS)
+    q["cdc_merge_only_updates"] = _cdc_merge(MergeMode.ONLY_UPDATES)
+    q["cdc_merge_inserts_only"] = _cdc_merge(MergeMode.INSERTS_ONLY)
 
     # ---- training-data ops: text
     def q_dedup_exact(spark, sf):
@@ -523,19 +571,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count"] = q_token_count
 
-    # rows-only (non-SQL-expressible: xxhash64 permutations / blake2b bits)
+    # LSH signature internals (xxhash64 permutations / blake2b bits) are
+    # not SQL-expressible, so these two are oracle-checked as RECALL
+    # assertions (VERDICT r01 §next-round 2): the query returns its
+    # candidates filtered to exact n-gram jaccard ≥ 0.8, the oracle
+    # computes ALL pairs ≥ 0.8 — equal iff the LSH missed nothing above
+    # the threshold (deterministic: fixed seed + fixed fixture).
     def q_dedup_minhash_lsh(spark, sf):
         d = _t(spark, sf, "documents")
         cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=16, bands=4)
-        return ngram_jaccard(cand, d, "doc_id", "text").select(
-            "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"),
-            F.round("jaccard", 4).alias("jaccard"),
+        return (
+            ngram_jaccard(cand, d, "doc_id", "text")
+            .where(F.col("jaccard") >= 0.8)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         )
 
     q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
 
     def q_dedup_simhash(spark, sf):
-        return simhash_near_dups(_t(spark, sf, "documents"), "doc_id", "text", bands=4)
+        d = _t(spark, sf, "documents")
+        cand = simhash_near_dups(d, "doc_id", "text", bands=8)
+        return (
+            ngram_jaccard(cand.drop("hamming"), d, "doc_id", "text")
+            .where(F.col("jaccard") >= 0.8)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        )
 
     q["dedup_simhash"] = q_dedup_simhash
 
@@ -563,10 +623,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups_exact"] = q_embedding_near_dups_exact
 
     def q_embedding_near_dups_lsh(spark, sf):
+        # component-sign banding: the oracle replicates the bucket join
+        # bit-for-bit (axis-aligned planes), so the WHOLE algorithm is
+        # verified, not just a recall bound
+        from etlbox_spark.operators.similarity import component_sign_pairs
+
         e = _t(spark, sf, "embeddings")
-        return cosine_near_dup_pairs(e, "embedding", threshold=0.42, n_planes=4).select(
-            "id_a", "id_b", F.round("cos", 6).alias("cos")
-        )
+        return component_sign_pairs(
+            e, "embedding", threshold=0.42, bands=16, bits_per_band=2
+        ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
     q["embedding_near_dups_lsh"] = q_embedding_near_dups_lsh
 
@@ -591,9 +656,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_meta"] = q_multimodal_meta
 
     def q_multimodal_features(spark, sf):
+        # oracle-computable projection of the decoded features (VERDICT
+        # r01): the stub featurizer emits a normalized 8-bin histogram,
+        # so dim and L1 mass (=1.0 for any non-empty payload) are
+        # invariants DuckDB can state directly; byte_len checks the
+        # payload plumbing end-to-end
         m = media_from_documents(_t(spark, sf, "documents"))
         f = extract_features(m, dim=8)
-        return f.select("media_id", "modality", "byte_len", F.round(F.element_at("feat", 1), 6).alias("feat0"))
+        return f.select(
+            "media_id",
+            "modality",
+            "byte_len",
+            F.size("feat").cast("long").alias("feat_dim"),
+            F.round(
+                F.aggregate("feat", F.lit(0.0), lambda acc, v: acc + v.cast("double")), 4
+            ).alias("feat_l1"),
+        )
 
     q["multimodal_features"] = q_multimodal_features
 
@@ -629,6 +707,10 @@ def oracle_sql() -> dict[str, str]:
     o["lookup"] = """
       SELECT c_custkey, c_name, n.n_name AS nation_name
       FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """
+    o["lookup_partial"] = """
+      SELECT o_orderkey, c.c_name AS cust_name, c.c_mktsegment AS segment
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     """
     o["merge_join"] = """
       SELECT o_orderkey, o_totalprice, c_name
@@ -760,11 +842,37 @@ def oracle_sql() -> dict[str, str]:
       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                  ORDER BY event_id DESC) = 1
     """
-    o["cdc_merge_full"] = _CDC_ORACLE_TMPL.format(s_only="'delete'", tomb_hit="'delete'")
-    o["cdc_merge_delta"] = _CDC_ORACLE_TMPL.format(s_only="NULL", tomb_hit="'delete'")
+    o["error_routing"] = """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+                    ELSE CAST(doc_id AS VARCHAR) END AS raw
+        FROM documents
+      )
+      SELECT doc_id, 'good' AS branch, TRY_CAST(raw AS BIGINT) AS val,
+             CAST(NULL AS VARCHAR) AS error_reason
+      FROM d WHERE TRY_CAST(raw AS BIGINT) IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'error' AS branch, CAST(NULL AS BIGINT) AS val,
+             'cast_failed:raw' AS error_reason
+      FROM d WHERE TRY_CAST(raw AS BIGINT) IS NULL
+    """
+    _std = {"ins_act": "'insert'", "upd_act": "'update'"}
+    o["cdc_merge_full"] = _CDC_ORACLE_TMPL.format(s_only="'delete'", tomb_hit="'delete'", **_std)
+    o["cdc_merge_delta"] = _CDC_ORACLE_TMPL.format(s_only="NULL", tomb_hit="'delete'", **_std)
     # NO_DELETIONS suppresses every would-be delete (tombstone hits incl.)
     # and records it as an existence flag
-    o["cdc_merge_no_deletions"] = _CDC_ORACLE_TMPL.format(s_only="'exists'", tomb_hit="'exists'")
+    o["cdc_merge_no_deletions"] = _CDC_ORACLE_TMPL.format(
+        s_only="'exists'", tomb_hit="'exists'", **_std
+    )
+    # ONLY_UPDATES drops would-be inserts unlogged; INSERTS_ONLY flags
+    # would-be updates/deletes as existence (old payload kept)
+    o["cdc_merge_only_updates"] = _CDC_ORACLE_TMPL.format(
+        s_only="NULL", tomb_hit="'exists'", ins_act="NULL", upd_act="'update'"
+    )
+    o["cdc_merge_inserts_only"] = _CDC_ORACLE_TMPL.format(
+        s_only="NULL", tomb_hit="'exists'", ins_act="'insert'", upd_act="'exists'"
+    )
 
     _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     o["dedup_exact"] = f"""
@@ -820,6 +928,88 @@ def oracle_sql() -> dict[str, str]:
       FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings), q
       ORDER BY {_COS} DESC, vec_id LIMIT 10
     """
+    # recall oracles for the LSH dedup paths: ALL pairs with exact
+    # word-3-gram jaccard >= 0.8 (the queries return their LSH candidates
+    # filtered by the same threshold — equal iff recall is complete).
+    # Shingling mirrors operators/textdedup.word_ngrams: normalized
+    # tokens; whole text as the single shingle when < 3 tokens.
+    _SHJ = r"""
+      WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      ), d AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+          END) AS sh
+        FROM t
+      )
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+      ) WHERE j >= 0.8
+    """
+    o["dedup_minhash_lsh"] = _SHJ
+    o["dedup_simhash"] = _SHJ
+    # exact replica of component_sign_pairs: band key = sign bits of 2
+    # consecutive components, 16 bands, candidates = any-band agreement
+    o["embedding_near_dups_lsh"] = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      bk AS (
+        SELECT vec_id, v, band,
+               (CASE WHEN v[band * 2 + 1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN v[band * 2 + 2] >= 0 THEN 2 ELSE 0 END) AS bkey
+        FROM e, (SELECT unnest(generate_series(0, 15)) AS band)
+      ),
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_v
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+      )
+      SELECT id_a, id_b, round(max(cos_v), 6) AS cos
+      FROM p WHERE cos_v >= 0.42 GROUP BY id_a, id_b
+    """
+    # exact replica of the IVF path: centroids = the 8 lowest-id vectors,
+    # nearest-centroid assignment (first index wins ties), probe the 2
+    # centroids nearest the query (vec_id 7), exact top-5 within them
+    o["ann_ivf_topk"] = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+      c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+      ),
+      assign AS (
+        SELECT vec_id, v, cidx FROM (
+          SELECT e.vec_id, e.v, c.cidx,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) /
+                            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                            DESC, c.cidx ASC) AS rn
+          FROM e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      probe AS (
+        SELECT cidx FROM c, q
+        ORDER BY list_dot_product(cv, qv) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC, cidx
+        LIMIT 2
+      )
+      SELECT vec_id,
+             round(list_dot_product(v, qv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+      FROM (SELECT vec_id, v, cidx FROM assign WHERE cidx IN (SELECT cidx FROM probe)), q
+      ORDER BY list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+      LIMIT 5
+    """
     o["embedding_near_dups_exact"] = """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT id_a, id_b, round(cos_v, 6) AS cos FROM (
@@ -833,6 +1023,17 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id AS media_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
              strlen(text) AS byte_len
+      FROM documents
+    """
+    # stub featurizer invariants: normalized 8-bin histogram over the
+    # payload bytes sums to 1 (0 for empty payloads); byte_len checks the
+    # binary plumbing end-to-end
+    o["multimodal_features"] = """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             strlen(text) AS byte_len,
+             CAST(8 AS BIGINT) AS feat_dim,
+             CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE 1 END AS DOUBLE) AS feat_l1
       FROM documents
     """
     o["frame_sample"] = """

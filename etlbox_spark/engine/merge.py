@@ -78,9 +78,16 @@ def evolve_schema(
     """Schema evolution (BASELINE.json:6): column add + type widen.
 
     Returns the evolved schema, or None if the table schema already
-    covers the batch. Never narrows, never drops columns.
+    covers the batch. Never narrows, never drops columns. Key columns
+    are never widened: the bucket layout hashes the key at its table
+    type (xxhash64 hashes int and long differently), so widening a key
+    would silently remap every stored row's logical key to a different
+    bucket. A batch arriving with a wider key type is instead cast DOWN
+    to the table type by ``align_to_schema`` — ANSI mode makes a lossy
+    cast throw instead of corrupting the keyspace.
     """
     engine_cols = {spec.seq_col, spec.op_col, BUCKET_COL, "epoch", "ts", "schema_ver"}
+    engine_cols |= set(spec.key_cols)
     by_name = {f.name: f for f in table_schema.fields}
     out = list(table_schema.fields)
     changed = False
@@ -149,20 +156,29 @@ def classify(
     ins, upd, dele, exi = (a.value for a in (
         ChangeAction.INSERT, ChangeAction.UPDATE, ChangeAction.DELETE, ChangeAction.EXISTS))
 
+    null_s = F.lit(None).cast("string")
     if mode is MergeMode.NO_DELETIONS:
         # deletes suppressed at the sink; delta records them as existence
         # flags (FIXTURES.md §4 'no_deletions')
-        tomb_hit, s_only = F.lit(exi), F.lit(exi)
+        ins_act, upd_act, tomb_hit, s_only = F.lit(ins), F.lit(upd), F.lit(exi), F.lit(exi)
     elif mode is MergeMode.FULL:
-        tomb_hit, s_only = F.lit(dele), F.lit(dele)
+        ins_act, upd_act, tomb_hit, s_only = F.lit(ins), F.lit(upd), F.lit(dele), F.lit(dele)
+    elif mode is MergeMode.ONLY_UPDATES:
+        # inserts dropped unlogged (no existing row to flag); tombstone
+        # hits suppressed as existence flags; otherwise DELTA-shaped
+        ins_act, upd_act, tomb_hit, s_only = null_s, F.lit(upd), F.lit(exi), null_s
+    elif mode is MergeMode.INSERTS_ONLY:
+        # matched keys never rewritten: updates + tombstone hits become
+        # existence flags (old payload kept), new keys insert as usual
+        ins_act, upd_act, tomb_hit, s_only = F.lit(ins), F.lit(exi), F.lit(exi), null_s
     else:  # DELTA: binlog — no full diff; snapshot-only rows untouched+unlogged
-        tomb_hit, s_only = F.lit(dele), F.lit(None).cast("string")
+        ins_act, upd_act, tomb_hit, s_only = F.lit(ins), F.lit(upd), F.lit(dele), null_s
 
     action = (
         F.when(is_tomb & s_here, tomb_hit)
-        .when(is_tomb & ~s_here, F.lit(None).cast("string"))  # idempotent tombstone of absent key
-        .when(e_here & ~s_here, F.lit(ins))
-        .when(e_here & s_here & ~same, F.lit(upd))
+        .when(is_tomb & ~s_here, null_s)  # idempotent tombstone of absent key
+        .when(e_here & ~s_here, ins_act)
+        .when(e_here & s_here & ~same, upd_act)
         .when(e_here & s_here & same, F.lit(exi))
         .otherwise(s_only)  # snapshot-only row
     )
@@ -214,9 +230,7 @@ def apply_epoch(
     if epoch_id in man.committed_epochs:
         return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
 
-    batch = dedupe_lww(events, spec).withColumn(
-        BUCKET_COL, bucket_expr(man.n_buckets, *spec.key_cols)
-    )
+    batch = dedupe_lww(events, spec)
 
     # schema evolution before classification so payload cols are final
     new_schema = evolve_schema(man.schema(), batch.schema, spec)
@@ -230,7 +244,13 @@ def apply_epoch(
     # reuse (map stages with live shuffle output are skipped), while a
     # columnar cache build measured 4-8x slower end-to-end (compression
     # + cached-read both serialize far below core count).
-    batch = align_to_schema(batch, table_schema, (spec.seq_col, spec.op_col, BUCKET_COL))
+    batch = align_to_schema(batch, table_schema, (spec.seq_col, spec.op_col))
+    # bucket AFTER the align: xxhash64 hashes int and long differently,
+    # so a numeric key arriving at a different width than the table
+    # would otherwise map the same logical key to a different bucket
+    # (DELTA mode would then never scan the stored row's bucket and
+    # re-insert the key as a duplicate)
+    batch = batch.withColumn(BUCKET_COL, bucket_expr(man.n_buckets, *spec.key_cols))
     # one job yields both the per-partition offsets (checkpoint lineage)
     # and the touched-bucket set (snapshot pruning)
     offsets = {

@@ -13,17 +13,27 @@ from enum import Enum
 
 
 class MergeMode(str, Enum):
-    """ETLBox DbMerge.MergeMode parity (BASELINE.json:6).
+    """ETLBox DbMerge.MergeMode parity (BASELINE.json:6; the last two are
+    the later-upstream additions noted in SURVEY.md §1.1).
 
     FULL        — destination keys absent from the source batch are deleted.
     DELTA       — binlog mode: deletions only via explicit tombstones.
     NO_DELETIONS— classified like FULL but deletes are suppressed at the
                   sink; the delta log still records them (existence flags).
+    ONLY_UPDATES— like DELTA, but inserts are suppressed: a batch row whose
+                  key is absent from the destination is dropped unlogged
+                  (there is no existing row to flag). Tombstone hits are
+                  suppressed too and logged as existence flags.
+    INSERTS_ONLY— only new keys are written: matched keys are never
+                  rewritten (updates and tombstone hits are suppressed and
+                  logged as existence flags, old payload kept).
     """
 
     FULL = "full"
     DELTA = "delta"
     NO_DELETIONS = "no_deletions"
+    ONLY_UPDATES = "only_updates"
+    INSERTS_ONLY = "inserts_only"
 
 
 class ChangeAction(str, Enum):

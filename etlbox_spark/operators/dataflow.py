@@ -65,6 +65,15 @@ class Pipe:
         hit, miss = conditional_split(self.df, predicate)
         return Pipe(hit, self.network), Pipe(miss, self.network)
 
+    def link_error_to(self, checks) -> tuple["Pipe", "Pipe"]:
+        """ETLBox ``LinkErrorTo`` analog: returns (good, errors) pipes;
+        ``checks`` is a list of (fails_when, reason) — see
+        operators/errors.py for the declared-failure-condition idiom."""
+        from .errors import route_errors
+
+        good, bad = route_errors(self.df, checks)
+        return Pipe(good, self.network), Pipe(bad, self.network)
+
     def multicast(self, n: int) -> list["Pipe"]:
         return [Pipe(self.df, self.network) for _ in range(n)]
 

@@ -136,6 +136,69 @@ def lsh_sign_bucket(vec_col: str, n_planes: int = 16, seed: int = 42, dim: int =
     return out
 
 
+def component_sign_pairs(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float = 0.42,
+    bands: int = 16,
+    bits_per_band: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs via axis-aligned sign-LSH: band key = the sign bits
+    of ``bits_per_band`` consecutive vector components; pairs agreeing on
+    ANY band are candidates (OR-construction); exact cosine within
+    buckets, keep pairs ≥ threshold.
+
+    Axis-aligned planes make the banding deterministic and
+    engine-independent — the DuckDB oracle replicates the bucket join
+    bit-for-bit, so the whole LSH algorithm (not just a recall bound) is
+    verified. For embedding distributions with correlated axes a real
+    deployment applies a fixed random rotation first (or uses the
+    hashed-plane variant ``cosine_near_dup_pairs``); the join/banding
+    shape — the part that must survive 100 TB — is identical.
+    """
+    r = bits_per_band
+
+    def band_key(b: int) -> Column:
+        k = F.lit(0)
+        for j in range(r):
+            k = k + F.when(
+                F.element_at(F.col("v"), b * r + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return k
+
+    # per-row norms once (see cosine_near_dup_pairs note)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv")
+    )
+    banded = base.select(
+        "id",
+        "v",
+        "nv",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "v", "nv", "bb.band", "bb.bkey")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nv").alias("nv_a"),
+        "band", "bkey")
+    c = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nv").alias("nv_b"),
+        "band", "bkey")
+    return (
+        a.join(c, on=["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                (_dot(F.col("v_a"), F.col("v_b")) / (F.col("nv_a") * F.col("nv_b"))).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos").alias("cos"))
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -158,31 +158,41 @@ def ngram_jaccard(
     )
 
 
-def _tok_hash64(tok: str) -> int:
-    """Deterministic 64-bit token hash (blake2b) — Python's builtin hash()
-    is process-salted and would make simhash non-reproducible across
-    executors."""
-    import hashlib
+def simhash64(col: Column, seed: int = 42) -> Column:
+    """64-bit SimHash over whitespace tokens — pure xxhash64 expressions,
+    whole-stage-codegen (VERDICT r01 replaced a per-token Python kernel).
 
-    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+    Tokens are hashed ONCE (``transform(xxhash64)``, same machinery as
+    MinHash); each of the 64 signature bits is the majority vote of that
+    bit across the token hashes (``size(filter(...)) * 2 >= n``), and the
+    bits are OR-folded into one long. The hashed-token array and the
+    token count are bound once via the single-element ``transform`` trick
+    (see word_ngrams — referencing them directly in 64 lambdas would
+    re-inline the tokenize+hash subtree 64 times).
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"), lambda t: t != "")
+    hs = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
 
+    def bit_set(b: int):
+        # closure, NOT a `b=b` default arg: pyspark infers the lambda's
+        # element/index signature from its arity, so a second parameter
+        # would receive the array index Column instead of the int
+        return lambda x: F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)) == 1
 
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — vectorized numpy bit ops
-    per Arrow batch (the sanctioned non-expressible-kernel path)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = str(t).lower().split()
-        if not toks:
-            continue
-        hs = np.array([_tok_hash64(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-        v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
-        out[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
-    return pd.Series(out)
+    def build(h: Column) -> Column:
+        n = F.size(h)
+        sig = F.lit(0).cast("long")
+        for b in range(64):
+            cnt = F.size(F.filter(h, bit_set(b)))
+            sig = sig.bitwiseOR(
+                F.when(cnt * 2 >= n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        # empty token set -> 0 (the majority vote 0 >= 0 would set every bit)
+        return F.when(n == 0, F.lit(0).cast("long")).otherwise(sig)
+
+    return F.element_at(F.transform(F.array(hs), build), 1)
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:

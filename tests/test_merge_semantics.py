@@ -174,3 +174,47 @@ def test_exists_rows_cause_zero_file_churn(spark, tmp_path):
     assert res.changed_buckets == []
     assert {e["path"] for e in t.manifest().files} == files_before
     assert t.is_committed(1)
+
+
+def test_only_updates_suppresses_inserts(spark, tmp_path):
+    """MergeMode.ONLY_UPDATES (later-upstream MergeMode, SURVEY.md §1.1):
+    new keys are dropped unlogged, matched keys update, tombstone hits
+    are suppressed as existence flags."""
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    rows = [ev(10, "insert", "p4", "Test4"),   # new key -> suppressed
+            ev(11, "update", "p2", "TestX"),   # matched -> update
+            ev(12, "insert", "p3", "Test3"),   # matched + equal -> exists
+            ev(13, "delete", "p1")]            # tombstone hit -> exists flag
+    res = _apply(spark, t, rows, MergeMode.ONLY_UPDATES, 1, d)
+    exp = {("r0", "p1"): "Test1", ("r0", "p2"): "TestX", ("r0", "p3"): "Test3"}
+    assert _snapshot(spark, t) == exp
+    assert res.counts == {"update": 1, "exists": 2}
+    acts = _delta_actions(spark, d, 1)
+    assert ("r0", "p4") not in acts            # suppressed insert unlogged
+    assert acts[("r0", "p2")] == "update"
+    assert acts[("r0", "p1")] == "exists"
+    _sha_ok(spark, t, exp)
+
+
+def test_inserts_only_never_rewrites(spark, tmp_path):
+    """MergeMode.INSERTS_ONLY: new keys insert; matched keys are never
+    rewritten — updates and tombstone hits become existence flags with
+    the old payload kept."""
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    rows = [ev(10, "insert", "p4", "Test4"),   # new key -> insert
+            ev(11, "update", "p2", "TestX"),   # matched -> exists, old kept
+            ev(12, "delete", "p1")]            # tombstone hit -> exists
+    res = _apply(spark, t, rows, MergeMode.INSERTS_ONLY, 1, d)
+    exp = {("r0", "p1"): "Test1", ("r0", "p2"): "Test2",
+           ("r0", "p3"): "Test3", ("r0", "p4"): "Test4"}
+    assert _snapshot(spark, t) == exp
+    assert res.counts == {"insert": 1, "exists": 2}
+    acts = _delta_actions(spark, d, 1)
+    assert acts[("r0", "p4")] == "insert"
+    assert acts[("r0", "p2")] == "exists"
+    assert acts[("r0", "p1")] == "exists"
+    _sha_ok(spark, t, exp)

@@ -30,8 +30,10 @@ def test_no_per_row_python_in_package():
 
 def test_collect_only_in_sanctioned_places():
     """collect() is allowed only where it pulls bounded metadata (bucket
-    lists, centroids, test sinks) — flag any new usage for review."""
-    allowed = {"merge.py", "similarity.py", "__init__.py"}
+    lists, centroids, per-partition counts, test sinks) — flag any new
+    usage for review. joins.py: global_positions collects ≤ one row per
+    partition (the zipWithIndex offset table)."""
+    allowed = {"merge.py", "similarity.py", "joins.py", "__init__.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         if py.name in allowed:

@@ -64,11 +64,39 @@ def test_lookup_dedupes_lookup_side(spark):
     assert out.count() == c.count()  # no fan-out
 
 
+def test_lookup_partial_cache_smj(spark):
+    """partial-cache mode: same result as full-cache, but via a shuffled
+    sort-merge join (no broadcast of the dim side)."""
+    c = _t(spark, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    n = _t(spark, "nation")
+    full = lookup(c, n, ["n_nationkey"], {"n_name": "nation_name"})
+    part = lookup(c, n, ["n_nationkey"], {"n_name": "nation_name"}, cache_mode="partial")
+    assert not has_broadcast_join(part)
+    assert "SortMergeJoin" in part._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, part.collect()))
+
+
 def test_merge_join_positional(spark):
     r = _t(spark, "region").select("r_regionkey", "r_name")
     n = _t(spark, "nation").select("n_nationkey", "n_name").where("n_nationkey < 5")
     out = merge_join_positional(r, n, ["r_regionkey"], ["n_nationkey"]).collect()
     assert len(out) == 5
+    # the zip pairs the i-th smallest keys of each side
+    pairs = {(row.r_regionkey, row.n_nationkey) for row in out}
+    assert pairs == {(i, i) for i in range(5)}
+
+
+def test_global_positions_dense_and_ordered(spark):
+    """No single-partition window: positions must still be the dense
+    1..n permutation matching the requested total order."""
+    from etlbox_spark.operators.joins import global_positions
+
+    df = spark.range(10_000).select((F.col("id") * 7919 % 337).alias("k"), "id")
+    gp = global_positions(df, ["k", "id"], "pos")
+    plan = gp._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan and "Window" not in plan
+    rows = gp.orderBy("k", "id").collect()
+    assert [r.pos for r in rows] == list(range(1, 10_001))
 
 
 def test_cross_join_and_split(spark):

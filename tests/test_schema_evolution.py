@@ -106,3 +106,42 @@ def test_mid_stream_column_add_and_widen(spark, tmp_path):
     assert rows["d.py"].size_bytes is None and rows["d.py"].stars == 9
     # earlier generations still correct after the third write
     assert rows["b.py"].size_bytes == 123 and rows["a.py"].size_bytes is None
+
+
+def test_numeric_key_at_mismatched_width_keeps_bucket(spark, tmp_path):
+    """ADVICE r01: xxhash64 hashes int and long differently, so a numeric
+    key arriving wider than the table type must be canonicalized BEFORE
+    bucketing — otherwise DELTA mode never scans the stored row's bucket
+    and the same logical key duplicates as an insert."""
+    schema = T.StructType([
+        T.StructField("user_id", T.IntegerType(), False),
+        T.StructField("content", T.StringType(), True),
+    ])
+    spec = MergeSpec(key_cols=("user_id",), compare_cols=("content",))
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["user_id"], 8)
+
+    ev_schema_int = T.StructType([
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("user_id", T.IntegerType(), False),
+        T.StructField("content", T.StringType(), True),
+    ])
+    e0 = spark.createDataFrame([(1, "insert", 42, "v1")], ev_schema_int)
+    apply_epoch(spark, t, e0, spec, MergeMode.DELTA, 0)
+
+    # same logical key arrives as LONG
+    ev_schema_long = T.StructType([
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("content", T.StringType(), True),
+    ])
+    e1 = spark.createDataFrame([(2, "update", 42, "v2")], ev_schema_long)
+    res = apply_epoch(spark, t, e1, spec, MergeMode.DELTA, 1)
+
+    rows = t.read(spark).collect()
+    assert len(rows) == 1, f"duplicate key rows: {rows}"
+    assert rows[0].content == "v2"
+    assert res.counts == {"update": 1}
+    # key column type is NOT widened (bucket layout pinned to table type)
+    assert t.manifest().schema()["user_id"].dataType == T.IntegerType()
