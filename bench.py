@@ -114,17 +114,21 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
         }
         n_events = sum(per_epoch_rows.values())  # delivered incl. dup re-delivery
 
+        write_mode = os.environ.get("SPARK_GRAFT_BENCH_WRITE_MODE", "cow")
+        compact_every = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "0"))
         lake = LakeTable.create(
             os.path.join(work, "lake"),
             schema=REPO_FILES_SCHEMA,
             key_cols=["repo", "path"],
             n_buckets=n_buckets,
+            properties={"write.mode": write_mode},
         )
         spec = MergeSpec()  # (repo,path) keys, event_seq order, content compare
         epoch_s: list[float] = []
+        compact_s = 0.0
         actions: dict[str, int] = {}
         epochs = list_epochs(events_dir)
-        for ep in epochs:
+        for i, ep in enumerate(epochs):
             t0 = time.perf_counter()
             (res,) = replay(
                 spark, lake, events_dir, spec, MergeMode.DELTA,
@@ -133,7 +137,11 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
             epoch_s.append(time.perf_counter() - t0)
             for k, v in res.counts.items():
                 actions[k] = actions.get(k, 0) + v
-        wall = sum(epoch_s)
+            if compact_every and (i + 1) % compact_every == 0:
+                t0 = time.perf_counter()
+                lake.compact(spark)
+                compact_s += time.perf_counter() - t0
+        wall = sum(epoch_s) + compact_s
         # sustained = steady state: the first half of the epochs carries
         # JVM/JIT/codegen warm-up (measured: per-epoch wall keeps falling
         # for several iterations), which a long-running 10^10-event tail
@@ -141,13 +149,18 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
         h = max(1, len(epochs) // 2)
         sus_ev = sum(per_epoch_rows[e] for e in epochs[h:]) or n_events
         sus_s = sum(epoch_s[h:]) or wall
-        final_rows = lake.row_count()
+        if any(e.get("kind") == "delta" for e in lake.manifest().files):
+            final_rows = lake.read(spark).count()  # manifest stats overcount w/ live deltas
+        else:
+            final_rows = lake.row_count()
         log(f"merge replay: {n_events} events / {len(epochs)} epochs in {wall:.1f}s"
             f" = {n_events / wall:,.0f} ev/s total, {sus_ev / sus_s:,.0f} ev/s"
             f" sustained; final table {final_rows} rows; actions {actions}")
         return {
             "n_events": n_events,
             "n_epochs": len(epochs),
+            "write_mode": write_mode,
+            "compact_s": round(compact_s, 3),
             "wall_s": round(wall, 3),
             "epoch_s": [round(x, 3) for x in epoch_s],
             "events_per_sec": round(n_events / wall, 1),

@@ -56,6 +56,10 @@ from pyspark.sql import types as T
 
 BUCKET_COL = "bucket"
 _WRITE_PARTITION_COL = "bucket_p"
+# merge-on-read engine columns, stored as regular columns in DELTA files
+# only (base files never carry them)
+MOR_OP_COL = "__op"        # 'upsert' | 'delete' (tombstone)
+MOR_ORDER_COL = "__order"  # manifest version the delta committed at
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -153,6 +157,17 @@ class LakeTable:
         t = LakeTable(root)
         if t.exists():
             raise FileExistsError(f"table already exists at {root}")
+        # a dropped table leaves meta/v*.json + data behind (drop removes
+        # only the pointer); creating a NEW table over them would publish
+        # v0 while manifest(v) time travel still resolves the OLD table's
+        # manifests and data — refuse instead of crossing table lifetimes
+        if os.path.isdir(t._meta_dir) and any(
+            fn.startswith("v") and fn.endswith(".json") for fn in os.listdir(t._meta_dir)
+        ):
+            raise FileExistsError(
+                f"stale table metadata under {t._meta_dir}; remove the old "
+                "table's meta/data dirs (or choose a fresh root) before create()"
+            )
         os.makedirs(t._data_dir, exist_ok=True)
         m = Manifest(
             version=0,
@@ -185,6 +200,44 @@ class LakeTable:
         s = m.schema(schema_version)
         return T.StructType(list(s.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), False)])
 
+    def _read_aligned(
+        self,
+        spark: SparkSession,
+        m: Manifest,
+        entries: list[dict[str, Any]],
+        extra_fields: list[T.StructField] | None = None,
+    ) -> DataFrame:
+        """Read ``entries`` aligned to the current schema (+ bucket):
+        group files by schema version, null-backfill added columns, cast
+        widened columns. ``extra_fields`` are engine columns stored in
+        the files beyond the data schema (the MOR op/order columns)."""
+        cur = m.schema()
+        extra = extra_fields or []
+        stored_extra = lambda ver: T.StructType(  # noqa: E731
+            list(self._stored_schema(m, ver).fields) + extra
+        )
+        if not entries:
+            return spark.createDataFrame([], stored_extra(m.current_schema_version))
+        by_ver: dict[int, list[str]] = {}
+        for e in entries:
+            by_ver.setdefault(e["schema_version"], []).append(os.path.join(self.root, e["path"]))
+        parts: list[DataFrame] = []
+        for ver, paths in sorted(by_ver.items()):
+            df = spark.read.schema(stored_extra(ver)).parquet(*paths)
+            exprs = []
+            for fld in cur.fields:
+                if fld.name in df.columns:
+                    exprs.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                else:
+                    exprs.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            exprs.append(F.col(BUCKET_COL))
+            exprs.extend(F.col(f.name) for f in extra)
+            parts.append(df.select(*exprs))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def read(
         self,
         spark: SparkSession,
@@ -197,6 +250,13 @@ class LakeTable:
         Pruning happens here, against the manifest's file list — Spark
         never even sees files of untouched buckets (manifest-level
         partition pruning, the lake analog of Iceberg's).
+
+        Merge-on-read: buckets carrying delta files (appended by
+        ``commit_delta_buckets``) are merged on the fly — base rows at
+        order 0, delta rows at their commit order, last-writer-wins per
+        key, tombstones dropped. Buckets with no deltas take the plain
+        path with zero merge cost; ``compact()`` restores every bucket to
+        the plain path.
         """
         m = self.manifest(version)
         entries = m.files
@@ -207,30 +267,41 @@ class LakeTable:
         cur = m.schema()
         out_cols = ([*cur.names, BUCKET_COL] if with_bucket else list(cur.names))
 
-        if not entries:
-            return spark.createDataFrame([], self._stored_schema(m, m.current_schema_version)).select(*out_cols)
+        delta_entries = [e for e in entries if e.get("kind") == "delta"]
+        if not delta_entries:
+            return self._read_aligned(spark, m, entries).select(*out_cols)
 
-        # group files by schema version; align old generations to current
-        by_ver: dict[int, list[str]] = {}
-        for e in entries:
-            by_ver.setdefault(e["schema_version"], []).append(os.path.join(self.root, e["path"]))
-
-        parts: list[DataFrame] = []
-        for ver, paths in sorted(by_ver.items()):
-            df = spark.read.schema(self._stored_schema(m, ver)).parquet(*paths)
-            # null-backfill added columns, cast widened columns
-            exprs = []
-            for fld in cur.fields:
-                if fld.name in df.columns:
-                    exprs.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
-                else:
-                    exprs.append(F.lit(None).cast(fld.dataType).alias(fld.name))
-            exprs.append(F.col(BUCKET_COL))
-            parts.append(df.select(*exprs))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df.select(*out_cols)
+        mor_fields = [
+            T.StructField(MOR_OP_COL, T.StringType(), False),
+            T.StructField(MOR_ORDER_COL, T.LongType(), False),
+        ]
+        dirty = {e["bucket"] for e in delta_entries}
+        clean = [e for e in entries if e["bucket"] not in dirty]
+        dirty_base = [
+            e for e in entries if e["bucket"] in dirty and e.get("kind") != "delta"
+        ]
+        # invariant making order-0 sound for base rows: any base write of a
+        # bucket (commit_buckets / compact / rebucket) drops that bucket's
+        # delta entries, so every live delta's order exceeds its base's
+        base = (
+            self._read_aligned(spark, m, dirty_base)
+            .withColumn(MOR_OP_COL, F.lit("upsert"))
+            .withColumn(MOR_ORDER_COL, F.lit(0).cast("long"))
+        )
+        delta = self._read_aligned(spark, m, delta_entries, extra_fields=mor_fields)
+        allr = base.unionByName(delta)
+        keys = list(m.key_cols)
+        rest = [c for c in allr.columns if c not in keys]
+        merged = (
+            allr.groupBy(*keys)
+            .agg(F.max_by(F.struct(*rest), F.col(MOR_ORDER_COL)).alias("__m"))
+            .select(*keys, "__m.*")
+            .where(F.col(MOR_OP_COL) != "delete")
+            .drop(MOR_OP_COL, MOR_ORDER_COL)
+        )
+        if clean:
+            merged = self._read_aligned(spark, m, clean).select(*merged.columns).unionByName(merged)
+        return merged.select(*out_cols)
 
     def is_committed(self, epoch_id: int) -> bool:
         return epoch_id in self.manifest().committed_epochs
@@ -327,6 +398,67 @@ class LakeTable:
         self._publish(nm)
         return new_ver
 
+    def commit_delta_buckets(
+        self,
+        df: DataFrame,
+        changed_buckets: list[int],
+        epoch_id: int,
+        new_schema: T.StructType | None = None,
+    ) -> int:
+        """Merge-on-read commit: APPEND per-epoch delta files for
+        ``changed_buckets`` instead of rewriting them (copy-on-write
+        rewrites a whole bucket to change one row — at 10^10 events that
+        write amplification, not the merge itself, is the bottleneck).
+
+        ``df`` holds only the epoch's changed rows — upserts with their
+        new payload and tombstones — carrying the ``bucket`` column and
+        ``__op`` ∈ {'upsert','delete'}; at most one row per key (the
+        epoch is LWW-deduped upstream). The commit stamps ``__order`` =
+        the new manifest version, so readers resolve base-vs-delta and
+        delta-vs-delta conflicts by order alone. Reads of touched buckets
+        pay a merge shuffle until ``compact()`` folds the deltas back in.
+
+        Same idempotent atomic protocol as ``commit_buckets``: write
+        data → publish manifest; a committed epoch is a no-op.
+        """
+        if MOR_OP_COL not in df.columns:
+            raise ValueError(f"delta commit requires the {MOR_OP_COL!r} column")
+        m = self.manifest()
+        if epoch_id in m.committed_epochs:
+            return m.version
+        new_ver = m.version + 1
+        schemas = dict(m.schemas)
+        cur_sv = m.current_schema_version
+        if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
+            cur_sv += 1
+            schemas[str(cur_sv)] = new_schema.jsonValue()
+
+        changed = set(changed_buckets)
+        new_entries: list[dict[str, Any]] = []
+        if changed:
+            stamped = df.withColumn(MOR_ORDER_COL, F.lit(new_ver).cast("long"))
+            new_entries = self._write_data(stamped, f"d{new_ver}-e{epoch_id}")
+            for e in new_entries:
+                e["schema_version"] = cur_sv
+                e["kind"] = "delta"
+                if e["bucket"] not in changed:
+                    raise RuntimeError(
+                        f"delta commit wrote bucket {e['bucket']} outside changed set"
+                    )
+        nm = Manifest(
+            version=new_ver,
+            key_cols=m.key_cols,
+            n_buckets=m.n_buckets,
+            current_schema_version=cur_sv,
+            schemas=schemas,
+            files=m.files + new_entries,
+            committed_epochs=sorted([*m.committed_epochs, epoch_id]),
+            parent=m.version,
+            properties=m.properties,
+        )
+        self._publish(nm)
+        return new_ver
+
     def overwrite(self, df: DataFrame, epoch_id: int) -> int:
         """Truncate-and-reload fast path (ETLBox UseTruncateMethod,
         SURVEY.md §4): replace the whole table in one atomic commit."""
@@ -395,22 +527,78 @@ class LakeTable:
         self._publish(nm)
         return new_ver
 
-    def vacuum(self, keep_versions: int = 1) -> dict[str, int]:
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, int]:
+        """Fold a bucket's accumulated delta files back into one base file
+        (Iceberg/Hudi-style compaction). Logical content is untouched —
+        the rewrite materializes exactly what ``read()`` already merges —
+        so subsequent reads of the bucket drop the merge shuffle and the
+        per-bucket file count returns to 1. No epoch marker: compaction
+        is a maintenance commit like ``rebucket``; crash mid-way leaves
+        the old manifest live (orphans reclaimed by vacuum).
+        """
+        m = self.manifest()
+        want = None if buckets is None else set(buckets)
+        dirty = sorted({
+            e["bucket"]
+            for e in m.files
+            if e.get("kind") == "delta" and (want is None or e["bucket"] in want)
+        })
+        if not dirty:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
+        df = self.read(spark, buckets=dirty)
+        new_ver = m.version + 1
+        entries = self._write_data(df, f"compact-v{new_ver}")
+        for e in entries:
+            e["schema_version"] = m.current_schema_version
+            if e["bucket"] not in set(dirty):
+                raise RuntimeError(f"compact wrote bucket {e['bucket']} outside dirty set")
+        keep = [e for e in m.files if e["bucket"] not in set(dirty)]
+        nm = Manifest(
+            version=new_ver,
+            key_cols=m.key_cols,
+            n_buckets=m.n_buckets,
+            current_schema_version=m.current_schema_version,
+            schemas=dict(m.schemas),
+            files=keep + entries,
+            committed_epochs=list(m.committed_epochs),
+            parent=m.version,
+            properties=m.properties,
+        )
+        self._publish(nm)
+        return {
+            "buckets_compacted": len(dirty),
+            "files_before": n_before,
+            "files_after": len(entries),
+        }
+
+    def vacuum(self, keep_versions: int = 1, grace_s: float = 0.0) -> dict[str, int]:
         """Delete data files referenced only by manifests older than the
         newest ``keep_versions`` (Iceberg expire_snapshots + orphan-file
         removal). Time travel remains possible within the kept window.
-        Returns {files_deleted, manifests_deleted, bytes_freed}."""
+        Returns {files_deleted, manifests_deleted, bytes_freed}.
+
+        Concurrency: the table is single-writer, but a vacuum racing an
+        in-flight commit (between _write_data and _publish) must not
+        delete the just-written uncommitted directory. Files whose mtime
+        is at or after the latest manifest's mtime minus ``grace_s`` are
+        therefore skipped (Iceberg's orphan-removal grace window); they
+        become eligible once a newer manifest lands or after the next
+        vacuum. Run vacuum from the writer process when possible."""
         latest = self.latest_version()
         keep = set(range(max(0, latest - keep_versions + 1), latest + 1))
         referenced: set[str] = set()
         for v in keep:
             for e in self.manifest(v).files:
                 referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
+        cutoff = (
+            os.path.getmtime(os.path.join(self._meta_dir, f"v{latest}.json")) - grace_s
+        )
         stats = {"files_deleted": 0, "manifests_deleted": 0, "bytes_freed": 0}
         for dirpath, _dirs, files in os.walk(self._data_dir):
             for fn in files:
                 p = os.path.normpath(os.path.join(dirpath, fn))
-                if p not in referenced:
+                if p not in referenced and os.path.getmtime(p) < cutoff:
                     stats["bytes_freed"] += os.path.getsize(p)
                     os.remove(p)
                     stats["files_deleted"] += 1
@@ -427,7 +615,10 @@ class LakeTable:
 
     # ------------------------------------------------------- introspection
     def row_count(self) -> int:
-        """RowCountTask analog — manifest stats, no scan."""
+        """RowCountTask analog — manifest stats, no scan. Exact while no
+        delta files are live; with merge-on-read deltas it is an upper
+        bound (superseded rows + tombstones still count) until
+        ``compact()`` runs."""
         return self.manifest().total_rows
 
     def schema(self, version: int | None = None) -> T.StructType:

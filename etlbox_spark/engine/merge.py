@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import bucket_expr
-from .lake import BUCKET_COL, LakeTable
+from .lake import BUCKET_COL, MOR_OP_COL, LakeTable
 from .spec import ChangeAction, MergeMode, MergeSpec
 
 ACTION_COL = "action"
@@ -223,8 +223,21 @@ def apply_epoch(
     """Apply one epoch of change events to the lake table, exactly-once.
 
     Pipeline: LWW dedupe → bucket-pruned snapshot read → full-outer
-    classify → copy-on-write commit of changed buckets → delta log.
-    Re-applying a committed epoch is a no-op (idempotent replay).
+    classify → commit of changed buckets → delta log. Re-applying a
+    committed epoch is a no-op (idempotent replay).
+
+    The commit strategy follows the table property ``write.mode``:
+
+    * ``"cow"`` (default) — copy-on-write: changed buckets are rewritten
+      whole. Reads stay merge-free; best when epochs touch a large
+      fraction of each bucket.
+    * ``"mor"`` — merge-on-read: only the epoch's changed rows (upserts +
+      tombstones) are APPENDED as delta files via
+      ``LakeTable.commit_delta_buckets``; reads of touched buckets merge
+      on the fly until ``LakeTable.compact()``. Best at design scale,
+      where a small epoch against a 100 TB table must not rewrite
+      multi-GB buckets to change a few rows (write amplification is the
+      10^10-event bottleneck, see lake.py).
     """
     man = lake.manifest()
     if epoch_id in man.committed_epochs:
@@ -281,6 +294,13 @@ def apply_epoch(
     # log can no longer be lost in a crash after the commit (re-running a
     # committed epoch is a marker no-op, so a delta written after the
     # commit would never be retried).
+    #
+    # Consequence for EXTERNAL delta consumers: a crash in the window
+    # between the delta write and commit_buckets leaves
+    # {delta_dir}/epoch=N on disk for an epoch that was never committed
+    # (the retry overwrites it). Delta readers MUST gate on the lake's
+    # committed_epochs marker (lake.is_committed(N)) before trusting
+    # epoch=N — the delta directory alone is not a commit signal.
     delta = j.where(F.col(ACTION_COL).isNotNull()).drop("__keep")
     if delta_dir is not None:
         dpath = f"{delta_dir}/epoch={epoch_id}"
@@ -294,11 +314,24 @@ def apply_epoch(
             changed_set.add(b)
     changed = sorted(changed_set)
 
-    new_rows = (
-        j.where(F.col(BUCKET_COL).isin(changed) & F.col("__keep"))
-        .select(*spec.key_cols, *payload_cols, BUCKET_COL)
-    )
-    version = lake.commit_buckets(new_rows, changed, epoch_id, new_schema=new_schema)
+    if man.properties.get("write.mode", "cow") == "mor":
+        # append-only: just the changed rows + tombstones, derived from
+        # the (possibly re-read) delta log — no bucket rewrite
+        mor_rows = delta.where(F.col(ACTION_COL).isin(ins, upd, dele)).select(
+            *spec.key_cols,
+            *payload_cols,
+            BUCKET_COL,
+            F.when(F.col(ACTION_COL) == dele, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias(MOR_OP_COL),
+        )
+        version = lake.commit_delta_buckets(mor_rows, changed, epoch_id, new_schema=new_schema)
+    else:
+        new_rows = (
+            j.where(F.col(BUCKET_COL).isin(changed) & F.col("__keep"))
+            .select(*spec.key_cols, *payload_cols, BUCKET_COL)
+        )
+        version = lake.commit_buckets(new_rows, changed, epoch_id, new_schema=new_schema)
     return MergeResult(
         epoch_id=epoch_id,
         version=version,

@@ -118,22 +118,35 @@ def sample_centroids(df: DataFrame, vec_col: str, n: int, id_col: str = "vec_id"
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def _hash01(seed: int, i: int, j: int) -> float:
+    """Deterministic plane coefficient in [-1, 1): python-side xxhash-free
+    splitmix64-style mix of (seed, i, j) — evaluated ONCE at plan build,
+    the planes reach the executors as plain literals."""
+    x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB) & (2**64 - 1)
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & (2**64 - 1)
+    x ^= x >> 31
+    return (x % 2001 - 1000) / 1000.0
+
+
 def lsh_sign_bucket(vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_i),
-    planes derived deterministically from xxhash64(seed, i, j) — built
-    entirely from expressions so the bucketing is reproducible and
-    JVM-side."""
-    bits = []
-    for i in range(n_planes):
-        plane = F.array(*[
-            (F.pmod(F.xxhash64(F.lit(seed), F.lit(i), F.lit(j)), F.lit(2001)) - 1000).cast("double") / 1000.0
-            for j in range(dim)
-        ])
-        bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = F.shiftleft(out, 1) + b
-    return out
+    planes derived deterministically from the seed.
+
+    The plane matrix is ONE literal array-of-arrays plus a single
+    ``transform`` over it (VERDICT r01: building n_planes × dim hash
+    expressions per row blows up codegen at dim 1024 — literals don't).
+    The sign bits fold into the bucket id with an aggregate, so the whole
+    expression is O(n_planes) nodes regardless of dim."""
+    planes = F.array(*[
+        F.array(*[F.lit(_hash01(seed, i, j)) for j in range(dim)]) for i in range(n_planes)
+    ])
+    bits = F.transform(
+        planes, lambda p: F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: F.shiftleft(acc, 1) + b)
 
 
 def component_sign_pairs(

@@ -160,3 +160,37 @@ def test_schema_evolution_read_alignment(spark, tmp_path):
     got = {(r.path, r.size_bytes) for r in t.read(spark).collect()}
     assert got == {("p1", None), (cand_path, 123)}
     assert t.manifest().current_schema_version == 2
+
+
+def test_create_refuses_stale_meta_after_drop(spark, tmp_path):
+    """ADVICE r01: drop() removes only the pointer; a new create() at the
+    same root must not let time travel resolve the old table's manifests."""
+    t = _mk(tmp_path, "dropped")
+    t.commit_buckets(_rows_df(spark, [("r0", "a", "c", "py", "v1")]), [0, 1, 2, 3, 4, 5, 6, 7], 0)
+    root = t.root
+    t.drop()
+    assert not LakeTable(root).exists()
+    with pytest.raises(FileExistsError, match="stale"):
+        LakeTable.create(root, REPO_FILES_SCHEMA, ["repo", "path"], 8)
+
+
+def test_vacuum_spares_in_flight_commit_files(spark, tmp_path):
+    """ADVICE r01: files written after the latest manifest (an in-flight
+    commit between _write_data and _publish) must survive vacuum."""
+    import time
+
+    t = _mk(tmp_path, "t", 2)
+    df = _rows_df(spark, [("r0", "a", "c", "py", "v1")], 2)
+    t.commit_buckets(df, [0, 1], 0)
+    time.sleep(0.05)  # ensure the orphan's mtime is after the manifest's
+    # simulate the in-flight commit: data written, manifest not yet published
+    entries = t._write_data(df, "c99-e99")
+    orphan = os.path.join(t.root, entries[0]["path"])
+    assert os.path.exists(orphan)
+    stats = t.vacuum(keep_versions=1)
+    assert os.path.exists(orphan), "vacuum deleted an in-flight commit file"
+    # once a newer manifest lands, the stale attempt becomes collectible
+    time.sleep(0.05)
+    t.commit_buckets(df, [0, 1], 1)
+    t.vacuum(keep_versions=1)
+    assert not os.path.exists(orphan)
