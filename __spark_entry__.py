@@ -249,6 +249,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multicast"] = q_multicast
 
+    def q_as_of_join(spark, sf):
+        """As-of join: each event enriched with the user's latest
+        dimension version at or before the event time (dim = every 10th
+        event, a stand-in for a versioned dimension)."""
+        from etlbox_spark.operators.joins import as_of_join
+
+        ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+        dim = (
+            _t(spark, sf, "events")
+            .where(F.pmod("event_id", F.lit(10)) == 0)
+            .select(
+                "user_id",
+                F.col("ts").alias("dts"),
+                F.col("event_id").alias("dim_event_id"),
+                F.col("value").alias("dim_value"),
+            )
+        )
+        out = as_of_join(ev, dim, on=["user_id"], left_ts="ts",
+                         right_ts="dts", right_seq="dim_event_id")
+        return out.select(
+            "event_id", "dim_event_id", F.round("dim_value", 4).alias("dim_value")
+        )
+
+    q["as_of_join"] = q_as_of_join
+
+    def q_range_join(spark, sf):
+        """Point-in-interval range join via bucketized equi-join (no
+        cartesian): every 7th event id matched to the intervals
+        [d, d+250] anchored at every 100th event id."""
+        from etlbox_spark.operators.joins import range_join_points
+
+        ev = _t(spark, sf, "events")
+        pts = ev.where(F.pmod("event_id", F.lit(7)) == 0).select(
+            F.col("event_id").alias("p"))
+        iv = ev.where(F.pmod("event_id", F.lit(100)) == 0).select(
+            F.col("event_id").alias("iv_id"),
+            F.col("event_id").alias("lo"),
+            (F.col("event_id") + 250).alias("hi"),
+        )
+        return range_join_points(pts, iv, "p", "lo", "hi", bucket_width=256)
+
+    q["range_join"] = q_range_join
+
     def q_conditional_split(spark, sf):
         o = _t(spark, sf, "orders")
         hit, miss = conditional_split(o, F.col("o_orderstatus") == "O")
@@ -477,6 +520,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup"] = q_rollup
 
+    def q_json_extract(spark, sf):
+        """JSON scalar surface (SURVEY.md §2.7): get_json_object (path
+        probe) and from_json (schema'd parse) over the events.props
+        column, both ways value-identical."""
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+            F.from_json("props", "k long").getField("k").alias("k_typed"),
+        )
+
+    q["json_extract"] = q_json_extract
+
+    def q_percentiles(spark, sf):
+        """Exact linear-interpolation percentiles per group (Spark
+        `percentile` ≡ DuckDB `quantile_cont`)."""
+        ev = _t(spark, sf, "events")
+        pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
+        return ev.groupBy("event_type").agg(
+            F.round(F.element_at(pcts, 1), 4).alias("p50"),
+            F.round(F.element_at(pcts, 2), 4).alias("p95"),
+        )
+
+    q["percentiles"] = q_percentiles
+
     def q_sessionize(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -598,6 +666,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_simhash"] = q_dedup_simhash
+
+    def q_dedup_connected_components(spark, sf):
+        """Cluster canonicalization: LSH candidates → exact-jaccard edges
+        (≥ 0.8, the oracle-verified recall set) → connected components →
+        (doc_id, canonical_id = component minimum)."""
+        from etlbox_spark.operators.textdedup import connected_components
+
+        d = _t(spark, sf, "documents")
+        cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=16, bands=4)
+        edges = ngram_jaccard(cand, d, "doc_id", "text").where(F.col("jaccard") >= 0.8)
+        return connected_components(edges).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+        )
+
+    q["dedup_connected_components"] = q_dedup_connected_components
 
     # ---- training-data ops: embeddings
     def q_ann_cosine_topk(spark, sf):
@@ -725,6 +808,41 @@ def oracle_sql() -> dict[str, str]:
     o["cross_join"] = """
       SELECT n_name, r_name FROM nation CROSS JOIN region
     """
+    # union-and-fill replica of operators/joins.as_of_join: the right
+    # payload rides as one struct so the fill picks whole versions
+    o["as_of_join"] = """
+      WITH d AS (
+        SELECT user_id, ts AS dts, event_id AS dim_event_id, value AS dim_value
+        FROM events WHERE event_id % 10 = 0
+      ),
+      u AS (
+        SELECT user_id, ts AS uts, event_id, 1 AS side,
+               CAST(NULL AS BIGINT) AS rseq,
+               CAST(NULL AS STRUCT(id BIGINT, val DOUBLE)) AS r
+        FROM events
+        UNION ALL
+        SELECT user_id, dts, NULL, 0, dim_event_id,
+               {'id': dim_event_id, 'val': dim_value}
+        FROM d
+      ),
+      f AS (
+        SELECT event_id, side,
+               last_value(r IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY uts, side, rseq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM u
+      )
+      SELECT event_id, s.id AS dim_event_id, round(s.val, 4) AS dim_value
+      FROM f WHERE side = 1
+    """
+    o["range_join"] = """
+      WITH pts AS (SELECT event_id AS p FROM events WHERE event_id % 7 = 0),
+      iv AS (
+        SELECT event_id AS iv_id, event_id AS lo, event_id + 250 AS hi
+        FROM events WHERE event_id % 100 = 0
+      )
+      SELECT p, iv_id, lo, hi FROM pts JOIN iv ON p BETWEEN lo AND hi
+    """
     o["multicast"] = """
       SELECT 'segment' AS branch, c_mktsegment AS key, count(*) AS n
       FROM customer GROUP BY c_mktsegment
@@ -826,6 +944,18 @@ def oracle_sql() -> dict[str, str]:
     o["rollup"] = """
       SELECT l_returnflag, l_linestatus, count(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+    o["json_extract"] = """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+      FROM events
+    """
+    o["percentiles"] = """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95
+      FROM events GROUP BY event_type
     """
     o["sessionize"] = """
       WITH g AS (
@@ -955,6 +1085,25 @@ def oracle_sql() -> dict[str, str]:
     """
     o["dedup_minhash_lsh"] = _SHJ
     o["dedup_simhash"] = _SHJ
+    # transitive closure over the same jaccard>=0.8 edge set via a
+    # recursive CTE; canonical id = min reachable vertex (incl. self)
+    o["dedup_connected_components"] = f"""
+      WITH RECURSIVE ej AS ({_SHJ}),
+      sym AS (
+        SELECT id_a AS s, id_b AS d FROM ej
+        UNION
+        SELECT id_b AS s, id_a AS d FROM ej
+      ),
+      reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+      )
+      SELECT n.id AS doc_id, least(n.id, min(r.d)) AS canonical_id
+      FROM (SELECT DISTINCT s AS id FROM sym) n
+      LEFT JOIN reach r ON r.s = n.id
+      GROUP BY n.id
+    """
     # exact replica of component_sign_pairs: band key = sign bits of 2
     # consecutive components, 16 bands, candidates = any-band agreement
     o["embedding_near_dups_lsh"] = """

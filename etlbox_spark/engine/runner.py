@@ -44,4 +44,28 @@ def replay(
         if checkpoint is not None:
             checkpoint.record(res)
         results.append(res)
+        _auto_compact(spark, lake)
     return results
+
+
+def _auto_compact(spark: SparkSession, lake: LakeTable) -> None:
+    """Merge-on-read compaction policy: when the table property
+    ``compact.max.deltas.per.bucket`` = K is set, any bucket that has
+    accumulated ≥ K delta files after an epoch is compacted back to one
+    base file. Bounds the read-merge tax to K delta files per bucket
+    while keeping the per-epoch write cost at changed-rows size (the MOR
+    point, lake.commit_delta_buckets). Compaction is a maintenance
+    commit: crash-safe, no epoch markers touched, so replay/resume
+    semantics are unaffected.
+    """
+    m = lake.manifest()
+    k = int(m.properties.get("compact.max.deltas.per.bucket", 0))
+    if not k:
+        return
+    per_bucket: dict[int, int] = {}
+    for e in m.files:
+        if e.get("kind") == "delta":
+            per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    dirty = sorted(b for b, n in per_bucket.items() if n >= k)
+    if dirty:
+        lake.compact(spark, buckets=dirty)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,6 +111,118 @@ def merge_join_positional(
     l2 = global_positions(left, left_order)
     r2 = global_positions(right, right_order)
     return l2.join(r2, on="__pos", how="inner").drop("__pos")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_seq: str | None = None,
+) -> DataFrame:
+    """As-of join (not in the reference; a first-class custom operator):
+    each left row is enriched with the LATEST right row whose
+    ``right_ts`` <= ``left_ts`` within the same key group — the
+    event-time enrichment every CDC/feature pipeline needs (attach the
+    dimension version that was current when the event happened).
+
+    Spark-first shape: NOT a theta-join (``l.ts >= r.ts`` explodes into a
+    per-key cartesian before aggregation). Instead the classic
+    union-and-fill: tag both sides, sort each key group once by
+    (ts, side, seq), and carry the right payload forward with
+    ``last(ignorenulls)`` over a running window — one shuffle on the key,
+    O(n log n) per group, windows partitioned by key so parallelism is
+    the keyspace. At equal timestamps the right row sorts first, so an
+    event sees a same-instant version (<= semantics); ``right_seq``
+    breaks ties among same-timestamp right rows deterministically
+    (highest wins).
+    """
+    from pyspark.sql import types as T
+
+    on = list(on)
+    rpayload = [c for c in right.columns if c not in {*on, right_ts}]
+    # the right payload travels as ONE nullable struct, so the fill picks
+    # whole right ROWS — per-column fills would stitch together columns
+    # from different versions whenever a payload value is null
+    rstruct = T.StructType([f for f in right.schema.fields if f.name in rpayload])
+    seq = F.col(right_seq) if right_seq else F.lit(0)
+
+    l2 = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(rstruct).alias("__r"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rseq"),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in on],
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in on],
+        F.struct(*[F.col(c) for c in rpayload]).alias("__r"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        seq.cast("long").alias("__rseq"),
+    )
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side", "__rseq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[F.col(c) for c in left.columns],
+        "__side",
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+    )
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__r.{c}").alias(c) for c in rpayload],
+        )
+    )
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval range join (not in the reference; first-class
+    custom operator): rows of ``points`` matched to every interval with
+    ``start <= point <= end``, optionally also equi-keyed on ``on``.
+
+    Spark-first shape: NOT the naive theta-join (Catalyst plans
+    ``p BETWEEN s AND e`` as a nested-loop cartesian — O(n·m)). Instead
+    each interval explodes into the coarse buckets of width W it covers,
+    each point maps to its single bucket, and the match becomes an
+    EQUI-join on (bucket, keys) followed by the exact BETWEEN filter —
+    cost O(intervals · span/W + points), shuffle-partitioned by bucket.
+    Pick W near the median interval length (≈1 bucket per interval).
+    A point meets an interval in exactly one bucket (its own), so no
+    dedup pass is needed.
+    """
+    on = list(on)
+    w = F.lit(int(bucket_width))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__b", F.floor(F.col(point_col) / w).cast("long"))
+    return (
+        pt.join(iv, on=["__b", *on])
+        .where(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__b")
+    )
 
 
 def cross_join(left: DataFrame, right: DataFrame, broadcast_right: bool = True) -> DataFrame:

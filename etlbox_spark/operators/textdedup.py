@@ -158,6 +158,63 @@ def ngram_jaccard(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → canonical
+    (minimum) id per component — the cluster-canonicalization step that
+    turns pairwise dedup output into one surviving document per group.
+
+    Iterative min-label propagation, pure DataFrame joins: each round a
+    vertex adopts the smallest label among itself and its neighbors;
+    convergence in O(component diameter) rounds (near-dup clusters are
+    tiny stars/cliques, so 2-3 rounds in practice). The driver loop is
+    over Spark JOBS (one count per round for the convergence check —
+    bounded metadata), never over rows. At web scale the same join shape
+    with the large-star/small-star optimization bounds round count on
+    pathological chains; candidate graphs from banded LSH don't have
+    them.
+
+    Returns (id, component) for every vertex appearing in ``edges``.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), F.col("component").alias("nl")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = labels.join(
+            neigh.select(F.col("src").alias("id"), "nl"), on="id", how="left"
+        ).select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("nl"), F.col("component"))).alias(
+                "component"
+            ),
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(col: Column, seed: int = 42) -> Column:
     """64-bit SimHash over whitespace tokens — pure xxhash64 expressions,
     whole-stage-codegen (VERDICT r01 replaced a per-token Python kernel).

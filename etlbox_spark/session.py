@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # diagnostics hook (e.g. -Xlog:gc* to attribute wall-time spikes to
+    # GC vs host noise in scaling runs); empty by default
+    jopts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if jopts:
+        b = b.config("spark.driver.extraJavaOptions", jopts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

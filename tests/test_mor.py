@@ -171,3 +171,36 @@ def test_mor_schema_evolution_mid_stream(spark, tmp_path):
     assert stats["buckets_compacted"] > 0
     rows = {r.path: r for r in t.read(spark).collect()}
     assert rows["p2"].stars == 7 and rows["p1"].stars is None
+
+
+def test_auto_compaction_policy_bounds_delta_files(spark, tmp_path):
+    """replay() with compact.max.deltas.per.bucket=K keeps every bucket's
+    live delta-file count < K while state still matches the oracle."""
+    from etlbox_spark.engine.gen import gen_events, write_events
+    from etlbox_spark.engine.runner import replay
+
+    ev_dir = str(tmp_path / "events")
+    write_events(
+        gen_events(spark, n_events=3000, n_repos=10, paths_per_repo=40, epoch_size=500),
+        ev_dir,
+    )
+    t = LakeTable.create(
+        str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4,
+        properties={"write.mode": "mor", "compact.max.deltas.per.bucket": 2},
+    )
+    replay(spark, t, ev_dir, MergeSpec(), MergeMode.DELTA)
+    per_bucket: dict[int, int] = {}
+    for e in t.manifest().files:
+        if e.get("kind") == "delta":
+            per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n < 2 for n in per_bucket.values()), per_bucket
+    # oracle: pure-python replay of the same events
+    import pandas as pd
+
+    state: dict = {}
+    for r in pd.read_parquet(ev_dir).sort_values("event_seq").itertuples():
+        if r.op == "delete":
+            state.pop((r.repo, r.path), None)
+        else:
+            state[(r.repo, r.path)] = r.content
+    assert _state(spark, t) == state

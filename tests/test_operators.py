@@ -150,3 +150,28 @@ def test_filter_pushdown_reaches_scan(spark):
     schemas = scan_read_schema(li)
     # column pruning: scan must read only the two needed columns
     assert schemas and all(len(s.split(",")) == 2 for s in schemas)
+
+
+def test_as_of_join_whole_row_semantics(spark):
+    """As-of join must attach the whole latest right ROW (a null payload
+    value in v2 must not be backfilled from v1), honor <= at equal
+    timestamps, and break same-ts ties by right_seq (highest wins)."""
+    from etlbox_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [("u1", 5, "e1"), ("u1", 10, "e2"), ("u1", 20, "e3"), ("u2", 7, "e4")],
+        "k string, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1, "a1", "b1"),      # v1 at ts=10 (equal-ts must match e2)
+         ("u1", 10, 2, "a2", None),      # same ts, higher seq -> wins; b NULL
+         ("u1", 15, 3, "a3", "b3")],
+        "k string, rts long, seq long, a string, b string",
+    )
+    out = {r.ev: (r.a, r.b) for r in as_of_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", right_seq="seq"
+    ).collect()}
+    assert out["e1"] == (None, None)       # nothing at or before ts=5
+    assert out["e2"] == ("a2", None)       # equal ts matches; seq=2 beats seq=1; b stays NULL
+    assert out["e3"] == ("a3", "b3")
+    assert out["e4"] == (None, None)       # other key unaffected

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Aggregate per-round bench_scaling JSONs into one scaling artifact.
+
+Two estimators per (round, config) leg, both from the recorded per-epoch
+walls (sustained window = last half of the epochs):
+
+* ``sustained``  — window rows / window wall (the headline estimator;
+  sensitive to single noise-spiked epochs).
+* ``robust``     — per-epoch rows / MEDIAN window epoch wall (immune to
+  point spikes; still honest about sustained slowdowns).
+
+Cross-round medians of each estimator give the reported efficiencies.
+Per-leg steal% and the epoch-wall dispersion (max/min over the window)
+are carried so contaminated legs are identifiable from the artifact
+itself rather than asserted.
+
+Usage: python tools/aggregate_scaling.py OUT.json round1.json round2.json ...
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def median(xs):
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def main() -> None:
+    out_path, paths = sys.argv[1], sys.argv[2:]
+    rounds = [json.load(open(p)) for p in paths]
+    pair = rounds[0]["pair"]
+    a, b = str(pair[0]), str(pair[1])
+    ratio = pair[1] / pair[0]
+
+    legs: dict[str, list[dict]] = {a: [], b: []}
+    for r in rounds:
+        for cfg in (a, b):
+            d = r["detail"][cfg]
+            ep = d["epoch_s"]
+            h = len(ep) // 2
+            win = ep[h:]
+            rows_per_epoch = d["n_events"] / d["n_epochs"]
+            legs[cfg].append(
+                {
+                    "sustained_ev_s": d["sustained_events_per_sec"],
+                    "robust_ev_s": round(rows_per_epoch / median(win), 1),
+                    "epoch_s": [round(x, 2) for x in ep],
+                    "window_dispersion": round(max(win) / min(win), 2),
+                    "steal_pct": d.get("steal_pct"),
+                }
+            )
+
+    def med(cfg, key):
+        return median([x[key] for x in legs[cfg]])
+
+    summary = {
+        "n_events": rounds[0]["n_events"],
+        "n_epochs": rounds[0]["n_epochs"],
+        "pair": pair,
+        "rounds": len(rounds),
+        "protocol": "alternating legs, fresh JVM each, same pre-generated input; "
+        "sustained = last-half epochs; robust = rows/median(window epoch wall)",
+        "legs": legs,
+        f"local{a}_sustained_median": med(a, "sustained_ev_s"),
+        f"local{b}_sustained_median": med(b, "sustained_ev_s"),
+        f"local{a}_robust_median": med(a, "robust_ev_s"),
+        f"local{b}_robust_median": med(b, "robust_ev_s"),
+        "efficiency_sustained_median": round(
+            med(b, "sustained_ev_s") / med(a, "sustained_ev_s") / ratio, 3
+        ),
+        "efficiency_robust_median": round(
+            med(b, "robust_ev_s") / med(a, "robust_ev_s") / ratio, 3
+        ),
+        "per_round_efficiency_sustained": [
+            round(bb["sustained_ev_s"] / aa["sustained_ev_s"] / ratio, 3)
+            for aa, bb in zip(legs[a], legs[b])
+        ],
+        "per_round_efficiency_robust": [
+            round(bb["robust_ev_s"] / aa["robust_ev_s"] / ratio, 3)
+            for aa, bb in zip(legs[a], legs[b])
+        ],
+        "target": 0.8,
+    }
+    summary["pass_sustained"] = summary["efficiency_sustained_median"] >= 0.8
+    summary["pass_robust"] = summary["efficiency_robust_median"] >= 0.8
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "legs"}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

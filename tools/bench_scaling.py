@@ -81,35 +81,72 @@ def main() -> None:
         )
         run([sys.executable, "-c", gen_code], base_env)
 
-    results = {}
-    for cpus in (n_small, n_big):
+    n_rounds = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+
+    def cpu_times() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat — co-tenant CPU theft
+        is the dominant noise source on this VM and must be MEASURED,
+        not guessed, to justify excluding a contaminated leg."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    def leg(cpus: int) -> dict:
         env = dict(base_env)
         env.update(
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_BENCH_QUERIES="0",
             SPARK_GRAFT_BENCH_EVENTS_DIR=events_dir,
         )
-        out = json.loads(run([sys.executable, "bench.py"], env))
-        results[cpus] = out["merge_apply"]
-        print(f"[scaling] local[{cpus}]: {results[cpus]['sustained_events_per_sec']:,.0f}"
-              f" ev/s sustained ({results[cpus]['events_per_sec']:,.0f} total)",
+        s0, t0 = cpu_times()
+        out = json.loads(run([sys.executable, "bench.py"], env))["merge_apply"]
+        s1, t1 = cpu_times()
+        out["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        print(f"[scaling] local[{cpus}]: {out['sustained_events_per_sec']:,.0f}"
+              f" ev/s sustained ({out['events_per_sec']:,.0f} total), "
+              f"steal {out['steal_pct']}%",
               file=sys.stderr, flush=True)
+        return out
 
-    ts = results[n_small]["sustained_events_per_sec"]
-    tb = results[n_big]["sustained_events_per_sec"]
+    # alternating legs, fresh JVM each, same pre-generated input; medians
+    # across rounds defend the margin against per-leg noise (r01's three
+    # rounds scored 0.837/0.869/0.63 — single runs are not trustworthy)
+    small_runs, big_runs, steals, last = [], [], [], None
+    for _ in range(n_rounds):
+        last = {n_small: leg(n_small), n_big: leg(n_big)}
+        small_runs.append(last[n_small]["sustained_events_per_sec"])
+        big_runs.append(last[n_big]["sustained_events_per_sec"])
+        steals.append([last[n_small]["steal_pct"], last[n_big]["steal_pct"]])
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    ts, tb = median(small_runs), median(big_runs)
     ratio = n_big / n_small
     eff = (tb / ts) / ratio
     summary = {
-        "n_events": results[n_big]["n_events"],
+        "n_events": last[n_big]["n_events"],
         "n_epochs": n_epochs,
         "pair": [n_small, n_big],
-        f"local{n_small}_events_per_sec": ts,
-        f"local{n_big}_events_per_sec": tb,
+        "rounds": n_rounds,
+        "protocol": "alternating legs, fresh JVM each, same pre-generated input",
+        f"local{n_small}_events_per_sec_runs": small_runs,
+        f"local{n_big}_events_per_sec_runs": big_runs,
+        f"local{n_small}_median": ts,
+        f"local{n_big}_median": tb,
+        "steal_pct_per_round": steals,
+        "per_round_efficiency": [
+            round((b / s) / ratio, 3) for s, b in zip(small_runs, big_runs)
+        ],
         "speedup": round(tb / ts, 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
-        "detail": results,
+        "detail": last,
     }
     print(json.dumps(summary))
     out_json = os.path.join(REPO, f"BENCH_SCALING_{n_small}_{n_big}.json")

@@ -47,10 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--events", required=True, help="binlog landing zone (epoch=N/ parquet dirs)")
     p.add_argument("--lake", required=True, help="lake table root")
     p.add_argument("--create", action="store_true", help="create the table if absent")
-    p.add_argument("--mode", default="delta", choices=["full", "delta", "no_deletions"])
+    p.add_argument("--mode", default="delta",
+                   choices=["full", "delta", "no_deletions", "only_updates", "inserts_only"])
     p.add_argument("--checkpoint", default=None, help="engine checkpoint JSON path")
     p.add_argument("--delta-dir", default=None, help="where to write the change-delta log")
     p.add_argument("--buckets", type=int, default=256, help="key-hash bucket count for new tables")
+    p.add_argument("--write-mode", default="cow", choices=["cow", "mor"],
+                   help="new-table commit strategy: copy-on-write or merge-on-read")
+    p.add_argument("--compact-after", type=int, default=0,
+                   help="mor only: auto-compact a bucket once it holds this many delta files")
     p.add_argument("--key-cols", default="repo,path")
     p.add_argument("--seq-col", default="event_seq")
     p.add_argument("--op-col", default="op")
@@ -76,7 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     mode = MergeMode(args.mode)
 
     lake = (
-        LakeTable.create(args.lake, repo_files_schema(), key_cols, n_buckets=args.buckets)
+        LakeTable.create(args.lake, repo_files_schema(), key_cols, n_buckets=args.buckets,
+                         properties={"write.mode": args.write_mode,
+                                     **({"compact.max.deltas.per.bucket": args.compact_after}
+                                        if args.compact_after else {})})
         if args.create and not LakeTable(args.lake).exists()
         else LakeTable.load(args.lake)
     )
