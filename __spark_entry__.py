@@ -486,6 +486,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["xml_parse"] = q_xml_parse
 
+    def q_xml_write_roundtrip(spark, sf):
+        """XmlDestination semantics (to_xml serialize) proven by parsing
+        the serialized rows back and recovering the source values."""
+        from etlbox_spark.sources import to_xml_rows, xml_rows
+        from pyspark.sql import types as T
+
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        x = to_xml_rows(n)
+        xs = T.StructType([
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ])
+        return xml_rows(x, "xml", xs)
+
+    q["xml_write_roundtrip"] = q_xml_write_roundtrip
+
     def q_window_running(spark, sf):
         li = _t(spark, sf, "lineitem")
         # RANGE frame: (l_orderkey, l_linenumber) is NOT unique in the
@@ -876,6 +892,9 @@ def oracle_sql() -> dict[str, str]:
     # the oracle states the expected round-trip directly
     o["xml_parse"] = """
       SELECT n_nationkey, n_nationkey AS x_key, n_name AS x_name FROM nation
+    """
+    o["xml_write_roundtrip"] = """
+      SELECT n_nationkey, n_name FROM nation
     """
     o["salted_aggregation"] = """
       SELECT event_type, round(sum(value), 2) AS total_value,

@@ -105,6 +105,24 @@ def xml_rows(
     )
 
 
+def to_xml_rows(df: DataFrame, row_tag: str = "row", out_col: str = "xml") -> DataFrame:
+    """Serialize each row to one XML element string (Spark 4 built-in
+    ``to_xml`` over a struct of all columns) — the row-serialization half
+    of XmlDestination; element-per-row, newlines collapsed so the output
+    is one element per line (round-trips through ``xml_rows``)."""
+    from pyspark.sql import functions as F
+
+    xml = F.to_xml(F.struct(*[F.col(c) for c in df.columns]), {"rowTag": row_tag})
+    return df.select(F.regexp_replace(xml, r"\s*\n\s*", "").alias(out_col))
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XmlDestination analog (SURVEY.md §2.2, previously out of scope —
+    Spark 4's built-in ``to_xml`` removes the need for the spark-xml
+    connector): one XML element per line, distributed text write."""
+    to_xml_rows(df, row_tag).write.mode(mode).text(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """DbSource against a real database (needs a reachable JDBC url +
     driver jar; not exercisable in this sandbox)."""

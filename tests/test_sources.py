@@ -105,3 +105,23 @@ def test_read_parquet_with_schema(spark, tmp_path):
     back = read_parquet(spark, p, schema=narrow)
     assert back.columns == ["id"]
     assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+
+
+def test_xml_destination_roundtrip(spark, tmp_path):
+    """XmlDestination (write_xml): one element per line on disk, and the
+    serialized rows parse back to the original values via xml_rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etlbox_spark.sources import write_xml, xml_rows
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta & <gamma>")], "k long, name string")
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out, row_tag="rec")
+    lines = spark.read.text(out)
+    assert lines.count() == 2
+    assert lines.where(F.col("value").startswith("<rec>")).count() == 2
+    xs = T.StructType([T.StructField("k", T.LongType()), T.StructField("name", T.StringType())])
+    back = {r.k: r.name for r in xml_rows(lines, "value", xs).collect()}
+    # special characters survive the escape/unescape round trip
+    assert back == {1: "alpha", 2: "beta & <gamma>"}
