@@ -93,3 +93,56 @@ def test_any_stream_replays_to_oracle_state(spark, tmp_path_factory, events, cut
         apply_epoch(spark, t, spark.createDataFrame(piece, EVENTS_SCHEMA),
                     SPEC, MergeMode.DELTA, ep, delta_dir=str(tmp / "d"))
     assert t.latest_version() == v
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_stream, cuts=_cuts, compact_at=st.integers(min_value=0, max_value=3))
+def test_any_stream_replays_to_oracle_state_mor(
+    spark, tmp_path_factory, events, cuts, compact_at
+):
+    """Same property under merge-on-read commits, with a compaction
+    injected at an arbitrary epoch boundary: ANY stream, ANY epoch split,
+    ANY compaction point must still fold to the pure-Python oracle state,
+    and re-replay must be a no-op."""
+    tmp = tmp_path_factory.mktemp("prop_mor")
+    t = LakeTable.create(str(tmp / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4,
+                         properties={"write.mode": "mor"})
+
+    rows = _rows(events)
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    pieces, prev = [], 0
+    for b in [*bounds, len(rows)]:
+        if b > prev:
+            pieces.append(rows[prev:b])
+            prev = b
+
+    for ep, piece in enumerate(pieces):
+        apply_epoch(spark, t, spark.createDataFrame(piece, EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, ep)
+        if ep == compact_at:
+            t.compact(spark)
+
+    want = _oracle(events)
+    got = {
+        (r.repo, r.path): (r.content, r.sha)
+        for r in t.read(spark).withColumn("sha", content_sha256()).collect()
+    }
+    assert set(got) == set(want)
+    for k, content in want.items():
+        assert got[k][0] == content
+        assert got[k][1] == hashlib.sha256(content.encode()).hexdigest()
+
+    # idempotent re-replay on the (possibly compacted) MOR table
+    v = t.latest_version()
+    for ep, piece in enumerate(pieces):
+        apply_epoch(spark, t, spark.createDataFrame(piece, EVENTS_SCHEMA),
+                    SPEC, MergeMode.DELTA, ep)
+    assert t.latest_version() == v
+    # compacting everything yields the same state with ≤1 file per bucket
+    t.compact(spark)
+    got2 = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert got2 == {k: v[0] for k, v in got.items()}
