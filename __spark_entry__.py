@@ -984,7 +984,8 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS new_s
         FROM events
       )
-      SELECT user_id, sum(new_s) + 1 AS n_sessions FROM g GROUP BY user_id
+      SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions
+      FROM g GROUP BY user_id
     """
     o["dedupe_lww"] = """
       SELECT user_id, event_type, event_id, value FROM events

@@ -142,6 +142,20 @@ def as_of_join(
 
     on = list(on)
     rpayload = [c for c in right.columns if c not in {*on, right_ts}]
+    # fail fast on silent column collisions (ADVICE r02): a right payload
+    # column shadowing a left column would emit BOTH under one name, and
+    # engine work columns already present on either side would be
+    # overwritten mid-plan
+    clash = sorted(set(rpayload) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join: right payload columns {clash} collide with left "
+            "columns — rename one side before joining"
+        )
+    reserved = {"__r", "__ts", "__side", "__rseq"}
+    used = sorted(reserved & (set(left.columns) | set(right.columns)))
+    if used:
+        raise ValueError(f"as_of_join: reserved engine column names in input: {used}")
     # the right payload travels as ONE nullable struct, so the fill picks
     # whole right ROWS — per-column fills would stitch together columns
     # from different versions whenever a payload value is null

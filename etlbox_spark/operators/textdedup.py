@@ -185,8 +185,12 @@ def connected_components(
         .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # the edge set is re-joined every round — checkpoint it once so the
+    # (possibly expensive) upstream LSH plan runs a single time
+    sym = sym.localCheckpoint(eager=False)
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         neigh = (
             sym.join(
                 labels.select(F.col("id").alias("dst"), F.col("component").alias("nl")),
@@ -203,6 +207,12 @@ def connected_components(
                 "component"
             ),
         )
+        # cap lineage (ADVICE r02): without this, each round's convergence
+        # count() re-executes the whole accumulated join chain — O(rounds²)
+        # recomputation on deep graphs. localCheckpoint truncates the plan
+        # at the label table (tiny: one row per vertex), and the count()
+        # below materializes it eagerly for the next round.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")
@@ -211,7 +221,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning unconverged labels would mislabel clusters
+        # (ADVICE r02); diameter > max_iter means the caller's graph is not
+        # the tiny-cluster shape this operator is tuned for
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (round count is O(component diameter))"
+        )
     return labels
 
 
