@@ -41,7 +41,7 @@ from etlbox_spark.operators.aggregate import center_on_global_mean
 from etlbox_spark.operators.multimodal import extract_features, frame_sample_plan, media_from_documents
 from etlbox_spark.operators.similarity import cosine, cosine_near_dup_pairs, cosine_topk
 from etlbox_spark.operators.textdedup import minhash_lsh_candidates, ngram_jaccard, simhash_near_dups
-from etlbox_spark.operators.textstats import fingerprint, lang_id, quality_features
+from etlbox_spark.operators.textstats import lang_id, quality_features
 from etlbox_spark.operators.textdedup import normalize_text
 
 
@@ -152,19 +152,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["row_transformation"] = q_row_transformation
 
-    def q_row_duplication(spark, sf):
+    def q_row_dup_mult(spark, sf):
+        """§2.3 RowDuplication + RowMultiplication as one branch-tagged
+        contract row. Consolidated (VERDICT r02 #3): the driver's
+        correctness artifact caps at 50 queries, so the 1→N row emitters
+        share a row to make room for the embeddings/multimodal family —
+        both operators still run, each branch against its own table."""
         r = _t(spark, sf, "region")
-        return row_duplication(r, predicate=F.col("r_regionkey") < 3).select("r_regionkey", "r_name")
-
-    q["row_duplication"] = q_row_duplication
-
-    def q_row_multiplication(spark, sf):
-        p = _t(spark, sf, "part")
-        return row_multiplication(p, "type_word", F.split(F.col("p_type"), " ")).select(
-            "p_partkey", "type_word"
+        dup = row_duplication(r, predicate=F.col("r_regionkey") < 3).select(
+            F.lit("dup").alias("op"),
+            F.col("r_regionkey").cast("long").alias("key"),
+            F.col("r_name").alias("val"),
         )
+        p = _t(spark, sf, "part")
+        mult = row_multiplication(p, "type_word", F.split(F.col("p_type"), " ")).select(
+            F.lit("mult").alias("op"),
+            F.col("p_partkey").cast("long").alias("key"),
+            F.col("type_word").alias("val"),
+        )
+        return dup.unionByName(mult)
 
-    q["row_multiplication"] = q_row_multiplication
+    q["row_dup_mult"] = q_row_dup_mult
 
     def q_column_rename(spark, sf):
         n = _t(spark, sf, "nation")
@@ -424,20 +432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct"] = q_distinct
 
-    def q_set_intersect(spark, sf):
+    def q_set_ops(spark, sf):
+        """§2.5 set ops, one branch-tagged row (consolidated, VERDICT r02
+        #3): INTERSECT + multiset EXCEPT ALL over the same two inputs.
+        Union itself is proven by this query's own unionByName (and by
+        multicast / error_routing / row_dup_mult)."""
         c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
         s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-        return c.intersect(s)
+        i = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+        x = c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey")
+        return i.unionByName(x)
 
-    q["set_intersect"] = q_set_intersect
-
-    def q_set_except(spark, sf):
-        # multiset EXCEPT ALL: customers' nation keys minus suppliers'
-        c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-        s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-        return c.exceptAll(s)
-
-    q["set_except"] = q_set_except
+    q["set_ops"] = q_set_ops
 
     def q_top_k_per_group(spark, sf):
         o = _t(spark, sf, "orders")
@@ -447,48 +453,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_k_per_group"] = q_top_k_per_group
 
-    def q_set_union(spark, sf):
-        """Union = many sources LinkTo one destination (SURVEY.md §2.5)."""
-        c = _t(spark, sf, "customer").select(
-            F.col("c_custkey").alias("k"), F.col("c_name").alias("name"),
-            F.lit("customer").alias("src"))
-        s = _t(spark, sf, "supplier").select(
-            F.col("s_suppkey").alias("k"), F.col("s_name").alias("name"),
-            F.lit("supplier").alias("src"))
-        return c.unionByName(s)
-
-    q["set_union"] = q_set_union
-
-    def q_cube(spark, sf):
+    def q_cube_rollup(spark, sf):
+        """§2.5 grouping sets, one branch-tagged row (consolidated,
+        VERDICT r02 #3): CUBE and ROLLUP over the same grouping."""
         o = _t(spark, sf, "orders")
-        return (
+        cu = (
             o.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.lit("cube").alias("op"), "o_orderstatus", "o_orderpriority", "n", "total")
         )
-
-    q["cube"] = q_cube
-
-    def q_xml_parse(spark, sf):
-        """XmlSource semantics via Spark 4 from_xml over string rows."""
-        from etlbox_spark.sources import xml_rows
-        from pyspark.sql import types as T
-
-        n = _t(spark, sf, "nation").select(
-            "n_nationkey",
-            F.format_string(
-                "<row><key>%s</key><name>%s</name></row>", "n_nationkey", "n_name"
-            ).alias("xml"),
+        ro = (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.lit("rollup").alias("op"), "o_orderstatus", "o_orderpriority", "n", "total")
         )
-        xs = T.StructType([T.StructField("key", T.LongType()),
-                           T.StructField("name", T.StringType())])
-        return xml_rows(n, "xml", xs, out_prefix="x_")
+        return cu.unionByName(ro)
 
-    q["xml_parse"] = q_xml_parse
+    q["cube_rollup"] = q_cube_rollup
 
-    def q_xml_write_roundtrip(spark, sf):
-        """XmlDestination semantics (to_xml serialize) proven by parsing
-        the serialized rows back and recovering the source values."""
+    def q_xml_roundtrip(spark, sf):
+        """XmlDestination + XmlSource in one row: rows serialize via
+        Spark 4 ``to_xml`` and parse back via ``from_xml``, recovering the
+        source values (escaping included). Consolidated from the former
+        xml_parse + xml_write_roundtrip pair (VERDICT r02 #3) — the
+        roundtrip exercises both directions."""
         from etlbox_spark.sources import to_xml_rows, xml_rows
         from pyspark.sql import types as T
 
@@ -500,7 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ])
         return xml_rows(x, "xml", xs)
 
-    q["xml_write_roundtrip"] = q_xml_write_roundtrip
+    q["xml_roundtrip"] = q_xml_roundtrip
 
     def q_window_running(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -529,12 +519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p
 
     q["pivot"] = q_pivot
-
-    def q_rollup(spark, sf):
-        li = _t(spark, sf, "lineitem")
-        return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
-
-    q["rollup"] = q_rollup
 
     def q_json_extract(spark, sf):
         """JSON scalar surface (SURVEY.md §2.7): get_json_object (path
@@ -601,6 +585,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["error_routing"] = q_error_routing
 
+    def q_sql_task(spark, sf):
+        """§2.10 / §3.1 EP3 end-to-end (VERDICT r02 #8): nation lands in
+        a lake table through the commit layer, CreateViewTask registers
+        the snapshot as a temp view, SqlTask answers over it with
+        spark.sql. The oracle states the same aggregate over the source
+        parquet directly — equal iff the lake write→read→view→SQL chain
+        preserved every row."""
+        import tempfile
+
+        from etlbox_spark.engine.lake import LakeTable
+        from etlbox_spark.functions.hashing import bucket_expr
+        from etlbox_spark.tasks import create_view_task, sql_task
+
+        n = _t(spark, sf, "nation")
+        root = tempfile.mkdtemp(prefix="etlbox_sqltask_") + "/nation"
+        t = LakeTable.create(root, schema=n.schema, key_cols=["n_nationkey"], n_buckets=8)
+        t.overwrite(n.withColumn("bucket", bucket_expr(8, "n_nationkey")), epoch_id=1)
+        create_view_task(spark, root, "nation_lake")
+        return sql_task(
+            spark,
+            """SELECT n_regionkey, count(*) AS n, min(n_nationkey) AS min_key,
+                      max(n_nationkey) AS max_key
+               FROM nation_lake GROUP BY n_regionkey""",
+        )
+
+    q["sql_task"] = q_sql_task
+
     # ---- §2.6 CDC / merge family
     def q_dedupe_lww(spark, sf):
         ev = _t(spark, sf, "events")
@@ -623,11 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact"] = q_dedup_exact
 
-    def q_doc_fingerprint(spark, sf):
-        return fingerprint(_t(spark, sf, "documents"), "text", "doc_id")
-
-    q["doc_fingerprint"] = q_doc_fingerprint
-
+    # (doc_fingerprint folded into dedup_exact — its fingerprint column is
+    #  the same sha256-of-normalized-text kernel; VERDICT r02 #3)
     def q_text_quality(spark, sf):
         return quality_features(_t(spark, sf, "documents"), "text", "doc_id").withColumns(
             {"n_chars_m": F.col("n_chars_m").cast("long"), "n_tokens": F.col("n_tokens").cast("long")}
@@ -748,12 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = q_ann_ivf_topk
 
     # ---- multimodal plumbing
-    def q_multimodal_meta(spark, sf):
-        m = media_from_documents(_t(spark, sf, "documents"))
-        return m.select("media_id", "modality", F.octet_length("payload").cast("long").alias("byte_len"))
-
-    q["multimodal_meta"] = q_multimodal_meta
-
+    # (multimodal_meta folded into multimodal_features, whose output is a
+    #  superset: media_id, modality, byte_len + the decoded-feature
+    #  invariants; VERDICT r02 #3)
     def q_multimodal_features(spark, sf):
         # oracle-computable projection of the decoded features (VERDICT
         # r01): the stub featurizer emits a normalized 8-bin histogram,
@@ -791,13 +796,15 @@ def oracle_sql() -> dict[str, str]:
              round(l_extendedprice * (1 - l_discount), 4) AS revenue
       FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
     """
-    o["row_duplication"] = """
-      SELECT r_regionkey, r_name FROM region
+    o["row_dup_mult"] = """
+      SELECT 'dup' AS op, CAST(r_regionkey AS BIGINT) AS key, r_name AS val FROM region
       UNION ALL
-      SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3
-    """
-    o["row_multiplication"] = """
-      SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word FROM part
+      SELECT 'dup' AS op, CAST(r_regionkey AS BIGINT), r_name
+      FROM region WHERE r_regionkey < 3
+      UNION ALL
+      SELECT 'mult' AS op, CAST(p_partkey AS BIGINT),
+             unnest(string_split(p_type, ' '))
+      FROM part
     """
     o["column_rename"] = """
       SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
@@ -878,22 +885,18 @@ def oracle_sql() -> dict[str, str]:
              count(s_suppkey) AS n
       FROM supplier GROUP BY s_nationkey
     """
-    o["set_union"] = """
-      SELECT c_custkey AS k, c_name AS name, 'customer' AS src FROM customer
-      UNION ALL
-      SELECT s_suppkey AS k, s_name AS name, 'supplier' AS src FROM supplier
-    """
-    o["cube"] = """
-      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+    o["cube_rollup"] = """
+      SELECT 'cube' AS op, o_orderstatus, o_orderpriority, count(*) AS n,
              round(sum(o_totalprice), 2) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      UNION ALL
+      SELECT 'rollup' AS op, o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """
-    # the engine builds the XML strings from nation and parses them back;
-    # the oracle states the expected round-trip directly
-    o["xml_parse"] = """
-      SELECT n_nationkey, n_nationkey AS x_key, n_name AS x_name FROM nation
-    """
-    o["xml_write_roundtrip"] = """
+    # the engine serializes nation rows with to_xml and parses them back
+    # with from_xml; the oracle states the expected round-trip directly
+    o["xml_roundtrip"] = """
       SELECT n_nationkey, n_name FROM nation
     """
     o["salted_aggregation"] = """
@@ -931,15 +934,18 @@ def oracle_sql() -> dict[str, str]:
     o["distinct"] = """
       SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
     """
-    o["set_intersect"] = """
-      SELECT c_nationkey AS nationkey FROM customer
-      INTERSECT
-      SELECT s_nationkey AS nationkey FROM supplier
-    """
-    o["set_except"] = """
-      SELECT c_nationkey AS nationkey FROM customer
-      EXCEPT ALL
-      SELECT s_nationkey AS nationkey FROM supplier
+    o["set_ops"] = """
+      SELECT 'intersect' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+      )
+      UNION ALL
+      SELECT 'except_all' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+      )
     """
     o["top_k_per_group"] = """
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -959,10 +965,6 @@ def oracle_sql() -> dict[str, str]:
              sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
              sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
       FROM lineitem GROUP BY l_returnflag
-    """
-    o["rollup"] = """
-      SELECT l_returnflag, l_linestatus, count(*) AS n
-      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
     o["json_extract"] = """
       SELECT event_id,
@@ -991,6 +993,11 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id, event_type, event_id, value FROM events
       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                  ORDER BY event_id DESC) = 1
+    """
+    o["sql_task"] = """
+      SELECT n_regionkey, count(*) AS n, min(n_nationkey) AS min_key,
+             max(n_nationkey) AS max_key
+      FROM nation GROUP BY n_regionkey
     """
     o["error_routing"] = """
       WITH d AS (
@@ -1029,9 +1036,6 @@ def oracle_sql() -> dict[str, str]:
       SELECT min(doc_id) AS doc_id, sha256({_NORM}) AS fingerprint,
              count(*) AS dup_count
       FROM documents GROUP BY 2
-    """
-    o["doc_fingerprint"] = f"""
-      SELECT doc_id, sha256({_NORM}) AS fingerprint FROM documents
     """
     _TOKS = f"string_split({_NORM}, ' ')"
     _PUNCT = "len(regexp_extract_all(text, '[.,;:!?]'))"
@@ -1187,12 +1191,6 @@ def oracle_sql() -> dict[str, str]:
                (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos_v
         FROM e x JOIN e y ON x.vec_id < y.vec_id
       ) WHERE cos_v >= 0.42
-    """
-    o["multimodal_meta"] = """
-      SELECT doc_id AS media_id,
-             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-             strlen(text) AS byte_len
-      FROM documents
     """
     # stub featurizer invariants: normalized 8-bin histogram over the
     # payload bytes sums to 1 (0 for empty payloads); byte_len checks the
