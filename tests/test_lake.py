@@ -184,7 +184,7 @@ def test_vacuum_spares_in_flight_commit_files(spark, tmp_path):
     t.commit_buckets(df, [0, 1], 0)
     time.sleep(0.05)  # ensure the orphan's mtime is after the manifest's
     # simulate the in-flight commit: data written, manifest not yet published
-    entries = t._write_data(df, "c99-e99")
+    entries = t._write_data(df, "c99-e99", ["repo", "path"])
     orphan = os.path.join(t.root, entries[0]["path"])
     assert os.path.exists(orphan)
     stats = t.vacuum(keep_versions=1)
@@ -194,3 +194,56 @@ def test_vacuum_spares_in_flight_commit_files(spark, tmp_path):
     t.commit_buckets(df, [0, 1], 1)
     t.vacuum(keep_versions=1)
     assert not os.path.exists(orphan)
+
+
+def test_manifest_khash_stats_and_point_lookup_pruning(spark, tmp_path):
+    """VERDICT r02 #4: every data file records min/max xxhash64(key) in
+    the manifest; a point probe skips the (MoR delta) files whose hash
+    range excludes the key, and lookup_keys returns the exact current
+    rows for the probed keys."""
+    from pyspark.sql import functions as F
+
+    from etlbox_spark.engine.lake import MOR_OP_COL
+
+    t = LakeTable.create(
+        str(tmp_path / "kh"), REPO_FILES_SCHEMA, ["repo", "path"], n_buckets=2
+    )
+    base = _rows_df(
+        spark, [(f"r{i}", f"p{i}", "c0", "py", f"base{i}") for i in range(40)], 2
+    )
+    t.commit_buckets(base, [0, 1], epoch_id=0)
+    m = t.manifest()
+    assert m.files and all(
+        e["khash_min"] is not None and e["khash_min"] <= e["khash_max"] for e in m.files
+    )
+
+    # pile up single-key MoR delta files so one bucket holds many files
+    # with narrow, disjoint hash ranges
+    for i in range(8):
+        d = _rows_df(spark, [(f"r{i}", f"p{i}", "c1", "py", f"new{i}")], 2).withColumn(
+            MOR_OP_COL, F.lit("upsert")
+        )
+        bs = [r[0] for r in d.select(BUCKET_COL).distinct().collect()]
+        t.commit_delta_buckets(d, bs, epoch_id=100 + i)
+
+    m = t.manifest()
+    # probe one updated key: file-level stats must prune most delta files
+    probe = [("r3", "p3")]
+    from etlbox_spark.functions.hashing import key_hash
+
+    h = int(
+        spark.createDataFrame(probe, "repo string, path string")
+        .select(key_hash("repo", "path"))
+        .collect()[0][0]
+    )
+    all_entries = m.files
+    kept = LakeTable._prune_by_khash(all_entries, [h])
+    assert len(kept) < len(all_entries), "khash stats pruned nothing"
+    # a single-key delta file survives only if it holds the probed key
+    assert sum(1 for e in kept if e.get("kind") == "delta") <= 2
+
+    got = {(r.repo, r.path, r.content) for r in t.lookup_keys(spark, probe).collect()}
+    assert got == {("r3", "p3", "new3")}
+    # un-updated key resolves to its base version
+    got2 = {(r.repo, r.path, r.content) for r in t.lookup_keys(spark, [("r20", "p20")]).collect()}
+    assert got2 == {("r20", "p20", "base20")}

@@ -140,7 +140,7 @@ def test_mor_crash_retry_overwrites_stale_attempt(spark, tmp_path):
     # simulate the crash: data written under the NEXT version's dir name,
     # manifest never published
     v = t.manifest().version
-    t._write_data(rows.withColumn("__order", F.lit(v + 1).cast("long")), f"d{v + 1}-e1")
+    t._write_data(rows.withColumn("__order", F.lit(v + 1).cast("long")), f"d{v + 1}-e1", ["repo", "path"])
     # retry through the real path
     res = _apply(spark, t, [ev(10, "update", "p2", "b2")], 1)
     assert not res.skipped
