@@ -743,10 +743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups_lsh"] = q_embedding_near_dups_lsh
 
     def q_ann_ivf_topk(spark, sf):
-        from etlbox_spark.operators.similarity import ivf_assign, ivf_topk, sample_centroids
+        """IVF with TRAINED centroids (VERDICT r02 #5): 2 deterministic
+        k-means iterations (exact quantized-integer means, so the oracle
+        unrolls the identical algorithm in SQL and reaches bit-identical
+        centroids), then assign + probe-2 + exact top-5."""
+        from etlbox_spark.operators.similarity import ivf_assign, ivf_topk, kmeans_centroids
 
         e = _t(spark, sf, "embeddings")
-        cents = sample_centroids(e, "embedding", 8)
+        cents = kmeans_centroids(e, "embedding", 8, iters=2)
         qv = [float(x) for x in e.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
         assigned = ivf_assign(e, "embedding", cents)
         return ivf_topk(assigned, "embedding", qv, cents, k=5, n_probe=2).select(
@@ -1148,39 +1152,65 @@ def oracle_sql() -> dict[str, str]:
       SELECT id_a, id_b, round(max(cos_v), 6) AS cos
       FROM p WHERE cos_v >= 0.42 GROUP BY id_a, id_b
     """
-    # exact replica of the IVF path: centroids = the 8 lowest-id vectors,
-    # nearest-centroid assignment (first index wins ties), probe the 2
-    # centroids nearest the query (vec_id 7), exact top-5 within them
+    # exact replica of the TRAINED IVF path (VERDICT r02 #5): init = the
+    # 8 lowest-id vectors, then TWO unrolled k-means iterations — assign
+    # by max cosine (ties → lowest index), update = element-wise mean via
+    # EXACT integer sums of round(v*1e6) divided back in double (the
+    # order-independent construction kmeans_centroids uses, so both
+    # engines land on bit-identical centroids) — then nearest-centroid
+    # assignment, probe the 2 centroids nearest the query (vec_id 7),
+    # exact top-5 within them
+    def _icos(a, b):
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    def _iassign(name, cents):
+        return f"""{name} AS (
+        SELECT vec_id, v, cidx FROM (
+          SELECT e.vec_id, e.v, c.cidx,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_icos('e.v', 'c.cv')} DESC, c.cidx ASC) AS rn
+          FROM e CROSS JOIN {cents} c
+        ) WHERE rn = 1
+      )"""
+
+    def _iupdate(mname, cname, aname, prev):
+        return f"""{mname} AS (
+        SELECT cidx, i,
+               CAST(sum(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * count(*)) AS mu
+        FROM (SELECT cidx, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM {aname})
+        GROUP BY cidx, i
+      ),
+      {cname} AS (
+        SELECT {prev}.cidx, coalesce(n.cv, {prev}.cv) AS cv
+        FROM {prev} LEFT JOIN
+             (SELECT cidx, list(mu ORDER BY i) AS cv FROM {mname} GROUP BY cidx) n
+        USING (cidx)
+      )"""
+
     o["ann_ivf_topk"] = f"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
-      c AS (
+      c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
       ),
-      assign AS (
-        SELECT vec_id, v, cidx FROM (
-          SELECT e.vec_id, e.v, c.cidx,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) /
-                            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                            DESC, c.cidx ASC) AS rn
-          FROM e CROSS JOIN c
-        ) WHERE rn = 1
-      ),
+      {_iassign('a1', 'c0')},
+      {_iupdate('m1', 'c1', 'a1', 'c0')},
+      {_iassign('a2', 'c1')},
+      {_iupdate('m2', 'c2', 'a2', 'c1')},
+      {_iassign('af', 'c2')},
       probe AS (
-        SELECT cidx FROM c, q
-        ORDER BY list_dot_product(cv, qv) /
-                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC, cidx
+        SELECT cidx FROM c2, q
+        ORDER BY {_icos('cv', 'qv')} DESC, cidx
         LIMIT 2
       )
-      SELECT vec_id,
-             round(list_dot_product(v, qv) /
-                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
-      FROM (SELECT vec_id, v, cidx FROM assign WHERE cidx IN (SELECT cidx FROM probe)), q
-      ORDER BY list_dot_product(v, qv) /
-               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+      SELECT vec_id, round({_icos('v', 'qv')}, 6) AS sim
+      FROM (SELECT vec_id, v FROM af WHERE cidx IN (SELECT cidx FROM probe)), q
+      ORDER BY {_icos('v', 'qv')} DESC, vec_id
       LIMIT 5
     """
     o["embedding_near_dups_exact"] = """

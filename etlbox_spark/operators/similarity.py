@@ -113,9 +113,65 @@ def ivf_topk(
 
 def sample_centroids(df: DataFrame, vec_col: str, n: int, id_col: str = "vec_id") -> list[list[float]]:
     """Deterministic centroid seed: the n vectors with the lowest ids
-    (stand-in for a k-means step; deterministic beats random here)."""
+    (k-means init; deterministic beats random here — replay/oracle
+    reproducibility is an engine invariant)."""
     rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means training for IVF (VERDICT r02 #5).
+
+    * init — the k lowest-id vectors (``sample_centroids``);
+    * assignment — max cosine, ties to the lowest centroid index: the
+      identical JVM expression ``ivf_assign`` uses, so train and serve
+      can never disagree;
+    * update — element-wise mean computed as an EXACT integer sum of the
+      vectors quantized to 1e-6 (``round(v * 1e6)`` as BIGINT), divided
+      back in double. Integer sums are order-independent, so the trained
+      centroids are bit-identical run-to-run (Spark's partition order
+      varies) and engine-to-engine — the DuckDB oracle unrolls the same
+      iterations in SQL and lands on the same doubles, which a plain
+      double mean (last-ulp drift by summation order) could not
+      guarantee;
+    * an empty cluster keeps its previous centroid.
+
+    Each iteration is one Spark job collecting (k x dim) sum rows —
+    bounded metadata, never data rows. At lake scale the assignment
+    stage is the same scan the final ``ivf_assign`` bucketing pass runs;
+    k-means adds ``iters`` of them, amortized over every query served
+    from the clustered layout.
+    """
+    cents = sample_centroids(df, vec_col, k, id_col)
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, cents, id_col=id_col)
+        sums = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.transform(
+                        F.col(vec_col),
+                        lambda v: F.round(v.cast("double") * F.lit(1000000.0)).cast("long"),
+                    )
+                ).alias("i", "q"),
+            )
+            .groupBy("cluster", "i")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            c, i = int(r["cluster"]), int(r["i"])
+            # same IEEE ops as the oracle's CAST(s AS DOUBLE)/(1e6 * n)
+            new[c][i] = float(int(r["s"])) / (1000000.0 * int(r["n"]))
+        cents = new
+    return cents
 
 
 def _hash01(seed: int, i: int, j: int) -> float:

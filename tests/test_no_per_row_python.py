@@ -32,8 +32,10 @@ def test_collect_only_in_sanctioned_places():
     """collect() is allowed only where it pulls bounded metadata (bucket
     lists, centroids, per-partition counts, test sinks) — flag any new
     usage for review. joins.py: global_positions collects ≤ one row per
-    partition (the zipWithIndex offset table)."""
-    allowed = {"merge.py", "similarity.py", "joins.py", "__init__.py"}
+    partition (the zipWithIndex offset table). lake.py: lookup_keys
+    collects one (hash, bucket) row per PROBE key — caller-bounded
+    metadata, never table rows."""
+    allowed = {"merge.py", "similarity.py", "joins.py", "lake.py", "__init__.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         if py.name in allowed:

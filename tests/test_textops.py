@@ -122,3 +122,43 @@ def test_multimodal_plumbing(spark, docs):
     frames = frame_sample_plan(media, every_ms=100)
     assert frames.where("frame_idx < 0").count() == 0
     assert frames.groupBy("media_id").count().count() == media.where("modality = 'video'").count()
+
+
+def test_kmeans_ivf_recall_at_k(spark):
+    """VERDICT r02 #5: trained centroids must keep ann recall@k at least
+    at the untrained (lowest-id seed) baseline against brute force, and
+    training must be deterministic across invocations."""
+    from etlbox_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [3, 7, 11, 42, 99, 123, 200, 310, 404, 490]
+    qvs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).collect()
+    }
+    brute = {
+        qid: {r.vec_id for r in cosine_topk(emb, "embedding", qv, k=10).collect()}
+        for qid, qv in qvs.items()
+    }
+
+    def mean_recall(cents):
+        assigned = ivf_assign(emb, "embedding", cents)
+        tot = 0.0
+        for qid, qv in qvs.items():
+            got = {r.vec_id for r in
+                   ivf_topk(assigned, "embedding", qv, cents, k=10, n_probe=2).collect()}
+            tot += len(got & brute[qid]) / len(brute[qid])
+        return tot / len(qvs)
+
+    seed = sample_centroids(emb, "embedding", 8)
+    trained = kmeans_centroids(emb, "embedding", 8, iters=2)
+    assert trained != seed, "k-means moved no centroid"
+    # recall is per-query noisy (probing 2 of 8 clusters); training must
+    # not LOSE recall on average over a query panel (measured: 0.58 vs
+    # 0.55 on this fixture)
+    r_seed, r_trained = mean_recall(seed), mean_recall(trained)
+    assert r_trained >= r_seed - 1e-9, (r_trained, r_seed)
+    assert r_trained >= 0.5
+    # determinism: identical floats on a re-run (partition-order-proof
+    # by the exact quantized-integer mean construction)
+    assert kmeans_centroids(emb, "embedding", 8, iters=2) == trained
