@@ -6,24 +6,36 @@ line to stdout:
 
 1. **Headline: CDC merge-apply replay** (the BASELINE.json metric).
    Generates the deterministic synthetic binlog (seed 42, zipf repo skew,
-   duplicate delivery) scaled to SF — ``n_events = SF * 10^7`` — into a
-   scratch dir, then replays every epoch through the engine
-   (LWW dedupe → bucket-pruned full-outer classify → copy-on-write
-   commit → delta log) in DELTA (binlog) mode. Generation is setup and
-   is not timed; the replay wall time yields change-events/sec.
-2. **Operator queries** from ``__spark_entry__.queries()`` over the
-   driver's parquet tables at ``$SPARK_GRAFT_SF_DIR`` — a representative
-   subset covering joins, aggregation, windows, CDC classification, text
-   dedup, and ANN. Each is materialized via the noop sink (full plan
-   execution, no driver collect overhead).
+   duplicate delivery) scaled to SF — ``n_events = SF * 4*10^7`` — into a
+   scratch dir once, then replays every epoch through the engine
+   (LWW dedupe → bucket-pruned full-outer classify → commit → delta log)
+   in DELTA (binlog) mode, **multiple rounds into fresh lakes** (VERDICT
+   r02 #1: this host's memory-bus contention swings single-shot numbers
+   by >2x, so the headline is the MEDIAN across rounds, and each round
+   records /proc/stat steal + wall dispersion so a contaminated run
+   SELF-FLAGS via ``contention_flags`` instead of silently mispricing
+   the engine). Replay runs both commit strategies:
+   copy-on-write (primary) and merge-on-read + periodic compaction
+   (the design-scale write path, VERDICT r02 #7), reported separately.
+   *Sustained* = last half of each round's epochs (JVM/codegen warm-up
+   excluded) and INCLUDES compaction landing inside that window
+   (ADVICE r02).
+2. **Operator queries** from ``__spark_entry__.queries()`` — a
+   representative subset covering joins, aggregation, windows, CDC
+   classification, text dedup, and ANN. Each is materialized via the
+   noop sink (full plan execution, no driver collect overhead).
 
 Env knobs:
-  SPARK_GRAFT_SF_DIR    input tables dir   (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS      local[] core count (default 32)
-  SPARK_GRAFT_BENCH_QUERIES=0   merge-replay only (used by the
-                                local[8]-vs-local[32] scaling harness,
-                                tools/bench_scaling.py)
-  SPARK_GRAFT_BENCH_EVENTS      override the event count
+  SPARK_GRAFT_SF_DIR       input tables dir  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         local[] core count (default 32)
+  SPARK_GRAFT_BENCH_QUERIES=0     merge-replay only (used by the
+                                  local[8]-vs-local[32] scaling harness,
+                                  tools/bench_scaling.py)
+  SPARK_GRAFT_BENCH_EVENTS[_DIR]  event count / reuse a generated stream
+  SPARK_GRAFT_BENCH_ROUNDS        CoW replay rounds   (default 3)
+  SPARK_GRAFT_BENCH_MOR_ROUNDS    MoR replay rounds   (default 2; 0 = off)
+  SPARK_GRAFT_BENCH_WRITE_MODE    force primary mode  (default cow)
+  SPARK_GRAFT_BENCH_COMPACT_EVERY MoR compaction period in epochs (default 4)
 """
 
 from __future__ import annotations
@@ -78,11 +90,137 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
-    from etlbox_spark.engine.gen import gen_events, list_epochs, write_events
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies — co-tenant CPU theft is this VM's dominant
+    noise source (BENCH.md) and must be measured, not guessed."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+    return total
+
+
+def _replay_round(
+    spark, events_dir: str, per_epoch_rows: dict[int, int], n_buckets: int,
+    write_mode: str, compact_every: int, work: str, tag: str,
+) -> dict:
+    """One full replay of all epochs into a FRESH lake; returns metrics.
+    The lake + delta scratch are deleted before returning (bytes written
+    are recorded first), so rounds never contend for page cache."""
+    from etlbox_spark.engine.gen import list_epochs
     from etlbox_spark.engine.lake import LakeTable
     from etlbox_spark.engine.runner import replay
     from etlbox_spark.engine.spec import MergeMode, MergeSpec
+
+    lake_root = os.path.join(work, f"lake_{tag}")
+    delta_dir = os.path.join(work, f"delta_{tag}")
+    lake = LakeTable.create(
+        lake_root,
+        schema=REPO_FILES_SCHEMA,
+        key_cols=["repo", "path"],
+        n_buckets=n_buckets,
+        properties={"write.mode": write_mode},
+    )
+    spec = MergeSpec()  # (repo,path) keys, event_seq order, content compare
+    epochs = list_epochs(events_dir)
+    epoch_s: list[float] = []
+    compact_s: list[float] = []
+    actions: dict[str, int] = {}
+    s0, t0 = _cpu_times()
+    for i, ep in enumerate(epochs):
+        t_ep = time.perf_counter()
+        (res,) = replay(
+            spark, lake, events_dir, spec, MergeMode.DELTA,
+            delta_dir=delta_dir, epochs=[ep],
+        )
+        epoch_s.append(time.perf_counter() - t_ep)
+        for k, v in res.counts.items():
+            actions[k] = actions.get(k, 0) + v
+        c = 0.0
+        if compact_every and (i + 1) % compact_every == 0:
+            t_c = time.perf_counter()
+            lake.compact(spark)
+            c = time.perf_counter() - t_c
+        compact_s.append(c)
+    s1, t1 = _cpu_times()
+
+    wall = sum(epoch_s) + sum(compact_s)
+    # sustained = steady state: the first half of the epochs carries
+    # JVM/JIT/codegen warm-up that a long-running 10^10-event tail
+    # amortizes to nothing; compaction triggered INSIDE the sustained
+    # window is real steady-state cost and counts (ADVICE r02)
+    h = max(1, len(epochs) // 2)
+    sus_ev = sum(per_epoch_rows[e] for e in epochs[h:]) or sum(per_epoch_rows.values())
+    sus_s = (sum(epoch_s[h:]) + sum(compact_s[h:])) or wall
+    if any(e.get("kind") == "delta" for e in lake.manifest().files):
+        final_rows = lake.read(spark).count()  # manifest stats overcount w/ live deltas
+    else:
+        final_rows = lake.row_count()
+    out = {
+        "wall_s": round(wall, 3),
+        "sustained_events_per_sec": round(sus_ev / sus_s, 1),
+        "epoch_s": [round(x, 3) for x in epoch_s],
+        "compact_s": round(sum(compact_s), 3),
+        "steal_pct": round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2),
+        "bytes_written": _dir_bytes(os.path.join(lake_root, "data")),
+        "final_rows": final_rows,
+        "actions": actions,
+    }
+    shutil.rmtree(lake_root, ignore_errors=True)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return out
+
+
+def _summarize(mode: str, rounds: list[dict], n_events: int, n_epochs: int) -> dict:
+    walls = [r["wall_s"] for r in rounds]
+    sus = [r["sustained_events_per_sec"] for r in rounds]
+    steals = [r["steal_pct"] for r in rounds]
+    flags = []
+    if max(steals) > 1.0:
+        flags.append(f"cpu steal up to {max(steals)}% — co-tenant contention")
+    if len(walls) >= 2 and max(walls) / max(min(walls), 1e-9) > 1.3:
+        flags.append(
+            f"round wall dispersion {max(walls) / min(walls):.2f}x — host noise; trust medians"
+        )
+    return {
+        "write_mode": mode,
+        "n_events": n_events,
+        "n_epochs": n_epochs,
+        "rounds": len(rounds),
+        "wall_s": _median(walls),
+        "events_per_sec": round(n_events / _median(walls), 1),
+        "sustained_events_per_sec": _median(sus),
+        "wall_s_runs": walls,
+        "sustained_runs": sus,
+        "steal_pct_runs": steals,
+        "compact_s_runs": [r["compact_s"] for r in rounds],
+        "bytes_written_runs": [r["bytes_written"] for r in rounds],
+        "epoch_s": rounds[-1]["epoch_s"],
+        "final_rows": rounds[-1]["final_rows"],
+        "actions": rounds[-1]["actions"],
+        "contended": bool(flags),
+        "contention_flags": flags,
+    }
+
+
+def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> tuple[dict, dict | None]:
+    from etlbox_spark.engine.gen import gen_events, write_events
 
     work = tempfile.mkdtemp(prefix="etlbox_bench_")
     try:
@@ -90,7 +228,9 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
         if not events_dir:
             # 4e7 * SF (4M at sf0.1): epochs big enough that per-epoch
             # fixed costs (driver round-trips, commit protocol) amortize
-            # the way they do at design scale
+            # the way they do at design scale; 8 epochs so the sustained
+            # window holds 4 warm measurements (CLAUDE.md: codegen keeps
+            # warming for ~5 epochs)
             n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", 0)) or max(
                 int(sf * 40_000_000), 20_000
             )
@@ -101,73 +241,59 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> dict:
                 n_events,
                 n_repos=max(50, n_events // 5_000),
                 paths_per_repo=500,
-                epoch_size=max(n_events // 5, 1),
+                epoch_size=max(n_events // 8, 1),
                 seed=42,
             )
             write_events(ev, events_dir)  # setup: binlog landing, untimed
-
-        from pyspark.sql import functions as F
 
         per_epoch_rows = {
             int(r[0]): int(r[1])
             for r in spark.read.parquet(events_dir).groupBy("epoch").count().collect()
         }
         n_events = sum(per_epoch_rows.values())  # delivered incl. dup re-delivery
+        n_epochs = len(per_epoch_rows)
 
-        write_mode = os.environ.get("SPARK_GRAFT_BENCH_WRITE_MODE", "cow")
-        compact_every = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "0"))
-        lake = LakeTable.create(
-            os.path.join(work, "lake"),
-            schema=REPO_FILES_SCHEMA,
-            key_cols=["repo", "path"],
-            n_buckets=n_buckets,
-            properties={"write.mode": write_mode},
+        primary_mode = os.environ.get("SPARK_GRAFT_BENCH_WRITE_MODE", "cow")
+        compact_every = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "4"))
+        rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
+        mor_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MOR_ROUNDS", "2"))
+
+        def run_mode(mode: str, n_rounds: int) -> dict:
+            ce = compact_every if mode == "mor" else 0
+            rs = []
+            for r in range(n_rounds):
+                out = _replay_round(
+                    spark, events_dir, per_epoch_rows, n_buckets, mode, ce, work,
+                    f"{mode}{r}",
+                )
+                rs.append(out)
+                log(
+                    f"{mode} round {r}: {out['wall_s']:.1f}s wall, "
+                    f"{out['sustained_events_per_sec']:,.0f} ev/s sustained, "
+                    f"steal {out['steal_pct']}%"
+                )
+            return _summarize(mode, rs, n_events, n_epochs)
+
+        primary = run_mode(primary_mode, rounds)
+        log(
+            f"merge replay [{primary_mode}]: median {primary['wall_s']:.1f}s"
+            f" = {primary['events_per_sec']:,.0f} ev/s total, "
+            f"{primary['sustained_events_per_sec']:,.0f} ev/s sustained over "
+            f"{rounds} rounds; flags {primary['contention_flags'] or 'none'}"
         )
-        spec = MergeSpec()  # (repo,path) keys, event_seq order, content compare
-        epoch_s: list[float] = []
-        compact_s = 0.0
-        actions: dict[str, int] = {}
-        epochs = list_epochs(events_dir)
-        for i, ep in enumerate(epochs):
-            t0 = time.perf_counter()
-            (res,) = replay(
-                spark, lake, events_dir, spec, MergeMode.DELTA,
-                delta_dir=os.path.join(work, "delta"), epochs=[ep],
+        mor = None
+        if mor_rounds > 0 and primary_mode != "mor":
+            mor = run_mode("mor", mor_rounds)
+            cow_b = _median(primary["bytes_written_runs"])
+            mor_b = _median(mor["bytes_written_runs"])
+            mor["write_bytes_vs_cow"] = round(mor_b / max(cow_b, 1), 4)
+            log(
+                f"merge replay [mor+compact@{compact_every}]: median {mor['wall_s']:.1f}s, "
+                f"{mor['sustained_events_per_sec']:,.0f} ev/s sustained; wrote "
+                f"{mor_b / 1e6:,.0f} MB vs CoW {cow_b / 1e6:,.0f} MB "
+                f"({mor['write_bytes_vs_cow']:.2f}x)"
             )
-            epoch_s.append(time.perf_counter() - t0)
-            for k, v in res.counts.items():
-                actions[k] = actions.get(k, 0) + v
-            if compact_every and (i + 1) % compact_every == 0:
-                t0 = time.perf_counter()
-                lake.compact(spark)
-                compact_s += time.perf_counter() - t0
-        wall = sum(epoch_s) + compact_s
-        # sustained = steady state: the first half of the epochs carries
-        # JVM/JIT/codegen warm-up (measured: per-epoch wall keeps falling
-        # for several iterations), which a long-running 10^10-event tail
-        # amortizes to nothing
-        h = max(1, len(epochs) // 2)
-        sus_ev = sum(per_epoch_rows[e] for e in epochs[h:]) or n_events
-        sus_s = sum(epoch_s[h:]) or wall
-        if any(e.get("kind") == "delta" for e in lake.manifest().files):
-            final_rows = lake.read(spark).count()  # manifest stats overcount w/ live deltas
-        else:
-            final_rows = lake.row_count()
-        log(f"merge replay: {n_events} events / {len(epochs)} epochs in {wall:.1f}s"
-            f" = {n_events / wall:,.0f} ev/s total, {sus_ev / sus_s:,.0f} ev/s"
-            f" sustained; final table {final_rows} rows; actions {actions}")
-        return {
-            "n_events": n_events,
-            "n_epochs": len(epochs),
-            "write_mode": write_mode,
-            "compact_s": round(compact_s, 3),
-            "wall_s": round(wall, 3),
-            "epoch_s": [round(x, 3) for x in epoch_s],
-            "events_per_sec": round(n_events / wall, 1),
-            "sustained_events_per_sec": round(sus_ev / sus_s, 1),
-            "final_rows": final_rows,
-            "actions": actions,
-        }
+        return primary, mor
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -190,8 +316,10 @@ def main() -> None:
 
     queries_s: dict[str, float] = {}
 
-    merge = bench_merge_replay(spark, sf, n_buckets=max(cpus, 32), log=log)
+    merge, mor = bench_merge_replay(spark, sf, n_buckets=max(cpus, 32), log=log)
     queries_s["merge_apply_replay"] = merge["wall_s"]
+    if mor is not None:
+        queries_s["merge_apply_mor"] = mor["wall_s"]
 
     if run_queries:
         import __spark_entry__ as entry_mod
@@ -214,6 +342,8 @@ def main() -> None:
         "cpus": cpus,
         "merge_apply": merge,
     }
+    if mor is not None:
+        out["merge_apply_mor"] = mor
     print(json.dumps(out), flush=True)
     spark.stop()
 

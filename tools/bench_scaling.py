@@ -99,6 +99,11 @@ def main() -> None:
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_BENCH_QUERIES="0",
             SPARK_GRAFT_BENCH_EVENTS_DIR=events_dir,
+            # this harness does its own round alternation + medians; one
+            # replay per leg keeps the legs short so co-tenant noise is
+            # less likely to span a whole small/big pair
+            SPARK_GRAFT_BENCH_ROUNDS="1",
+            SPARK_GRAFT_BENCH_MOR_ROUNDS="0",
         )
         s0, t0 = cpu_times()
         out = json.loads(run([sys.executable, "bench.py"], env))["merge_apply"]
