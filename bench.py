@@ -58,7 +58,8 @@ HEADLINE_QUERIES = [
     "aggregation",
     "top_k_per_group",
     "window_running",
-    "sort",
+    "windowed_counts",
+    "session_windows",
     "dedupe_lww",
     "cdc_merge_full",
     "cdc_merge_delta",
