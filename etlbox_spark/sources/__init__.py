@@ -7,7 +7,8 @@ Spark these are reader/writer one-liners — the value added here is the
 engine's conventions (explicit schemas, never inferSchema in prod paths,
 JSON-lines for binlogs) plus the lake-backed Db* analogs.
 
-XML/Excel connectors are out of scope (no offline connector; SURVEY.md §7).
+XML is covered by Spark 4 built-ins (``from_xml``/``to_xml`` below);
+Excel by the stdlib-only codec in ``xlsx.py`` (binaryFile → mapInPandas).
 JDBC round-trips need a database — ``read_jdbc``/``write_jdbc`` are thin
 passthroughs gated on a URL being supplied.
 """
@@ -131,3 +132,6 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
+
+
+from .xlsx import read_excel, write_excel  # noqa: E402  (ExcelSource/Destination, §2.1/2.2)

@@ -1,0 +1,311 @@
+"""ExcelSource / ExcelDestination (SURVEY.md §2.1/§2.2) — stdlib-only.
+
+Reference parity: ETLBox ExcelSource/ExcelDestination [U
+ETLBox/src/Connectors/Excel*]. No Excel library ships in this sandbox
+(no openpyxl/xlsxwriter), and none is needed: XLSX is a ZIP of small
+XML parts, so the codec below is pure stdlib (``zipfile`` +
+``xml.etree``) and the Spark side is the standard opaque-binary plan —
+``binaryFile`` scan → Arrow-batched ``mapInPandas`` decode — the same
+shape as the multimodal decoders (operators/multimodal.py), except this
+codec is REAL, not a stub.
+
+Scale/plan notes:
+
+* One task per .xlsx file (``binaryFile`` never splits a file — a ZIP
+  isn't splittable anyway). Excel is inherently a many-small-files
+  format; a directory of them parallelizes per file, and the decode is
+  Arrow-batched per file, never per row in the Spark sense.
+* All cell values surface as STRINGS (the raw ``<v>`` text / string
+  content): faithful to the wire format (XLSX stores numbers as decimal
+  text and dates as serial-number text), deterministic, and typed
+  downstream via explicit Spark-side casts (``schema=``) exactly like
+  the CSV/typed-ingest path — never via Python coercion.
+* The writer emits one ``part-{pid}.xlsx`` per partition (the Spark
+  file-sink convention) using inline strings and a FIXED zip timestamp,
+  so output bytes are deterministic (CLAUDE.md determinism invariant).
+  ``coalesce(1)`` upstream if a single workbook is required.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import io
+import os
+import zipfile
+from typing import Iterable, Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_NS_REL_DOC = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_NS_REL_PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
+_M = f"{{{_NS_MAIN}}}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' -> 0-based column index 54."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{_M}is")
+        return "".join(x.text or "" for x in is_el.iter(f"{_M}t")) if is_el is not None else None
+    v = c.find(f"{_M}v")
+    if v is None:
+        return None
+    raw = v.text or ""
+    if t == "s":
+        return shared[int(raw)]
+    if t == "b":
+        return "true" if raw == "1" else "false"
+    return raw  # n / str / e: the raw decimal / formula-result / error text
+
+
+def xlsx_bytes_to_rows(
+    data: bytes, sheet: int | str = 0
+) -> list[list[str | None]]:
+    """Decode one workbook's sheet into rows of optional strings.
+
+    ``sheet`` selects by position in workbook order (int) or by sheet
+    name (str). Missing cells inside a row come back as None; trailing
+    ragged rows are NOT padded here (the Spark layer pads to the header
+    width).
+    """
+    zf = zipfile.ZipFile(io.BytesIO(data))
+
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    sheets = wb.findall(f"{_M}sheets/{_M}sheet")
+    if isinstance(sheet, str):
+        matches = [s for s in sheets if s.get("name") == sheet]
+        if not matches:
+            raise ValueError(f"no sheet named {sheet!r}; have {[s.get('name') for s in sheets]}")
+        sel = matches[0]
+    else:
+        sel = sheets[sheet]
+    rid = sel.get(f"{{{_NS_REL_DOC}}}id")
+
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target = next(
+        r.get("Target")
+        for r in rels.findall(f"{{{_NS_REL_PKG}}}Relationship")
+        if r.get("Id") == rid
+    )
+    sheet_path = "xl/" + target.lstrip("/") if not target.startswith("/xl/") else target[1:]
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sst.findall(f"{_M}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_M}t")))
+
+    rows: list[list[str | None]] = []
+    for row_el in ET.fromstring(zf.read(sheet_path)).iter(f"{_M}row"):
+        row: list[str | None] = []
+        for c in row_el.findall(f"{_M}c"):
+            ref = c.get("r")
+            if ref is not None:
+                idx = _col_index(ref)
+                while len(row) < idx:
+                    row.append(None)  # gap: absent cells are omitted on disk
+            row.append(_cell_value(c, shared))
+        rows.append(row)
+    return rows
+
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<Relationships xmlns="{_NS_REL_PKG}">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<Relationships xmlns="{_NS_REL_PKG}">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def rows_to_xlsx_bytes(
+    rows: Iterable[Iterable[str | None]], sheet_name: str = "Sheet1"
+) -> bytes:
+    """Encode rows of optional strings as a minimal valid workbook.
+
+    Inline strings only (no shared-string table — write-once ETL output
+    gains nothing from the extra indirection); None cells are omitted;
+    the zip timestamp is pinned so identical rows give identical bytes.
+    """
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_NS_MAIN}"><sheetData>'
+    ]
+    for r_i, row in enumerate(rows, start=1):
+        cells = []
+        for c_i, val in enumerate(row):
+            if val is None:
+                continue
+            ref = _col_letters(c_i) + str(r_i)
+            cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(val))}</t></is></c>')
+        parts.append(f'<row r="{r_i}">' + "".join(cells) + "</row>")
+    parts.append("</sheetData></worksheet>")
+    sheet_xml = "".join(parts)
+
+    wb_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS_MAIN}" xmlns:r="{_NS_REL_DOC}"><sheets>'
+        f'<sheet name="{escape(sheet_name, {chr(34): "&quot;"})}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in [
+            ("[Content_Types].xml", _CONTENT_TYPES),
+            ("_rels/.rels", _ROOT_RELS),
+            ("xl/workbook.xml", wb_xml),
+            ("xl/_rels/workbook.xml.rels", _WB_RELS),
+            ("xl/worksheets/sheet1.xml", sheet_xml),
+        ]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, content)
+    return buf.getvalue()
+
+
+def _col_letters(idx: int) -> str:
+    s = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        s = chr(65 + rem) + s
+    return s
+
+
+def _local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _peek_columns(path: str, sheet: int | str, header: bool) -> list[str]:
+    """Driver-side header peek of ONE file (bounded, analogous to CSV
+    inferSchema's first-file sniff). Local paths only — on an object
+    store pass ``columns=``/``schema=`` explicitly."""
+    p = _local(path)
+    if os.path.isdir(p):
+        candidates = sorted(_glob.glob(os.path.join(p, "*.xlsx")))
+    else:
+        candidates = sorted(_glob.glob(p))
+    if not candidates:
+        raise FileNotFoundError(f"no .xlsx files under {path}")
+    rows = xlsx_bytes_to_rows(open(candidates[0], "rb").read(), sheet)
+    width = max((len(r) for r in rows), default=0)
+    if header and rows:
+        return [
+            rows[0][i] if i < len(rows[0]) and rows[0][i] is not None else f"_c{i}"
+            for i in range(width)
+        ]
+    return [f"_c{i}" for i in range(width)]
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sheet: int | str = 0,
+    header: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ExcelSource analog: dir/glob of .xlsx → DataFrame.
+
+    Plan: ``binaryFile`` scan (one task per workbook) → ``mapInPandas``
+    decode to all-string columns → optional Spark-side casts from
+    ``schema`` (JVM ``cast``, same typed-ingest discipline as CSV;
+    route failures with operators/errors.typed_ingest if needed).
+    Column names come from ``schema``/``columns`` or a one-file
+    driver-side header peek.
+    """
+    if schema is not None:
+        names = [f.name for f in schema.fields]
+    elif columns is not None:
+        names = list(columns)
+    else:
+        names = _peek_columns(path, sheet, header)
+    out_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = xlsx_bytes_to_rows(bytes(content), sheet)
+                if header and rows:
+                    rows = rows[1:]
+                cols = {
+                    n: [r[i] if i < len(r) else None for r in rows]
+                    for i, n in enumerate(names)
+                }
+                yield pd.DataFrame(cols, columns=names, dtype=object)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    df = files.mapInPandas(decode, schema=out_schema)
+    if schema is not None:
+        df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+    return df
+
+
+def write_excel(df: DataFrame, out_dir: str, sheet_name: str = "Sheet1") -> DataFrame:
+    """ExcelDestination analog: one ``part-{pid:05d}.xlsx`` per partition
+    (Spark file-sink convention; ``coalesce(1)`` first for one workbook).
+
+    Every column is cast to string Spark-side (JVM cast — canonical,
+    deterministic formatting) before the Arrow-batched encode; the
+    header row is the column names. Returns a tiny per-partition
+    manifest DataFrame (path, rows) — materializing it performs the
+    write, mirroring how the lake layer reports commits.
+
+    Tasks write through their local filesystem API — in cluster mode
+    point ``out_dir`` at shared storage (NFS/FUSE mount), as with any
+    non-Hadoop sink.
+    """
+    names = df.columns
+    str_df = df.select(*[F.col(c).cast("string").alias(c) for c in names])
+    man_schema = T.StructType(
+        [T.StructField("path", T.StringType()), T.StructField("rows", T.LongType())]
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        all_rows: list[list[str | None]] = [list(names)]
+        for pdf in batches:
+            for tup in pdf.itertuples(index=False):
+                all_rows.append([None if pd.isna(v) else str(v) for v in tup])
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, f"part-{pid:05d}.xlsx")
+        with open(out_path, "wb") as f:
+            f.write(rows_to_xlsx_bytes(all_rows, sheet_name))
+        yield pd.DataFrame({"path": [out_path], "rows": [len(all_rows) - 1]})
+
+    return str_df.mapInPandas(encode, schema=man_schema)

@@ -1,0 +1,125 @@
+"""ExcelSource/ExcelDestination (sources/xlsx.py).
+
+Codec tests are pure Python (no Spark session) — they pin the wire
+format: round-trip identity, escaping, gaps, shared-vs-inline strings,
+determinism. The Spark tests drive the real plan (binaryFile →
+mapInPandas decode; partitioned write) and check it against the source
+DataFrame.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etlbox_spark.sources.xlsx import (
+    read_excel,
+    rows_to_xlsx_bytes,
+    write_excel,
+    xlsx_bytes_to_rows,
+)
+
+ROWS = [
+    ["id", "name", "note"],
+    ["1", "alpha", "plain"],
+    ["2", "be<ta> & 'q'", 'quotes "and" amps'],
+    ["3", None, ""],  # None cell omitted on disk; empty string kept
+    ["4", "delta", None],
+]
+
+
+def test_codec_roundtrip_identity():
+    data = rows_to_xlsx_bytes(ROWS, sheet_name="t")
+    assert xlsx_bytes_to_rows(data) == [
+        ["id", "name", "note"],
+        ["1", "alpha", "plain"],
+        ["2", "be<ta> & 'q'", 'quotes "and" amps'],
+        ["3", None, ""],
+        ["4", "delta"],  # trailing None -> cell absent -> ragged row
+    ]
+
+
+def test_codec_deterministic_bytes():
+    assert rows_to_xlsx_bytes(ROWS) == rows_to_xlsx_bytes([list(r) for r in ROWS])
+
+
+def test_codec_is_valid_zip_package():
+    data = rows_to_xlsx_bytes(ROWS)
+    names = set(zipfile.ZipFile(__import__("io").BytesIO(data)).namelist())
+    assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+
+
+def test_codec_shared_strings_and_sheet_select():
+    """Read a foreign-shaped workbook: shared strings + named sheet +
+    column gaps (cells carry explicit refs; B skipped)."""
+    import io as _io
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1"><v>2.5</v></c>'
+        '<c r="D1" t="b"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>hello</t></si></sst>"
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="data" sheetId="1" r:id="rId9"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId9" Type="w" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    got = xlsx_bytes_to_rows(buf.getvalue(), sheet="data")
+    assert got == [["hello", None, "2.5", "true"]]
+    with pytest.raises(ValueError):
+        xlsx_bytes_to_rows(buf.getvalue(), sheet="nope")
+
+
+def test_spark_roundtrip_partitioned(spark, tmp_path):
+    src = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    out = str(tmp_path / "xl")
+    manifest = write_excel(src.repartition(4), out).collect()
+    assert len(manifest) == 4 and sum(r["rows"] for r in manifest) == 100
+
+    back_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_excel(spark, out, schema=back_schema)
+    assert back.orderBy("id").collect() == src.orderBy("id").collect()
+
+
+def test_spark_header_peek_and_string_surface(spark, tmp_path):
+    src = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    out = str(tmp_path / "xl")
+    write_excel(src.coalesce(1), out).collect()
+    got = read_excel(spark, out)  # no schema: peek header, all-string
+    assert got.schema == T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [("a", "1"), ("b", "2")]
