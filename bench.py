@@ -32,6 +32,9 @@ Env knobs:
                                   local[8]-vs-local[32] scaling harness,
                                   tools/bench_scaling.py)
   SPARK_GRAFT_BENCH_EVENTS[_DIR]  event count / reuse a generated stream
+  SPARK_GRAFT_BENCH_EPOCHS        epochs for the generated stream (default 5
+                                  — r01/r02-comparable big-epoch protocol;
+                                  see the epoch-count note in the code)
   SPARK_GRAFT_BENCH_ROUNDS        CoW replay rounds   (default 3)
   SPARK_GRAFT_BENCH_MOR_ROUNDS    MoR replay rounds   (default 2; 0 = off)
   SPARK_GRAFT_BENCH_WRITE_MODE    force primary mode  (default cow)
@@ -229,12 +232,20 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> tuple[dict, dic
         if not events_dir:
             # 4e7 * SF (4M at sf0.1): epochs big enough that per-epoch
             # fixed costs (driver round-trips, commit protocol) amortize
-            # the way they do at design scale; 8 epochs so the sustained
-            # window holds 4 warm measurements (CLAUDE.md: codegen keeps
-            # warming for ~5 epochs)
+            # the way they do at design scale
             n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", 0)) or max(
                 int(sf * 40_000_000), 20_000
             )
+            # Epoch count prices the per-commit fixed cost (each CoW epoch
+            # rewrites its touched buckets): on the SAME 4.08M-event input
+            # the identical engine measures ~35-39s at 5 epochs vs ~48-59s
+            # at 8 (A/B-bisected against the r02 engine — both equal under
+            # a fixed harness, so the gap is pure protocol). Default 5 =
+            # r01/r02 continuity + the big-epoch regime a binlog tail
+            # actually runs at design scale; cross-round medians (not more
+            # epochs) supply the sample count. The 24M-event scaling study
+            # keeps its 8-epoch protocol via SPARK_GRAFT_BENCH_EVENTS_DIR.
+            n_bench_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "5"))
             # keyspace scales with the stream so the op mix stays CDC-like
             events_dir = os.path.join(work, "events")
             ev = gen_events(
@@ -242,7 +253,7 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> tuple[dict, dic
                 n_events,
                 n_repos=max(50, n_events // 5_000),
                 paths_per_repo=500,
-                epoch_size=max(n_events // 8, 1),
+                epoch_size=max(n_events // n_bench_epochs, 1),
                 seed=42,
             )
             write_events(ev, events_dir)  # setup: binlog landing, untimed

@@ -7,10 +7,11 @@ Spark these are reader/writer one-liners — the value added here is the
 engine's conventions (explicit schemas, never inferSchema in prod paths,
 JSON-lines for binlogs) plus the lake-backed Db* analogs.
 
-XML is covered by Spark 4 built-ins (``from_xml``/``to_xml`` below);
-Excel by the stdlib-only codec in ``xlsx.py`` (binaryFile → mapInPandas).
-JDBC round-trips need a database — ``read_jdbc``/``write_jdbc`` are thin
-passthroughs gated on a URL being supplied.
+XML is covered by Spark 4 built-ins (``from_xml``/``to_xml`` below,
+incl. XSD row validation + XSD→StructType derivation); Excel by the
+stdlib-only codec in ``xlsx.py`` (binaryFile → mapInPandas). JDBC
+round-trips are tested against the embedded Derby engine that ships in
+Spark's jars (tests/test_jdbc.py) — no external database required.
 """
 
 from __future__ import annotations
@@ -89,16 +90,28 @@ def memory_destination(df: DataFrame) -> list:
 
 
 def xml_rows(
-    df: DataFrame, xml_col: str, schema: T.StructType, out_prefix: str = ""
+    df: DataFrame,
+    xml_col: str,
+    schema: T.StructType,
+    out_prefix: str = "",
+    xsd_path: str | None = None,
 ) -> DataFrame:
     """XmlSource analog (SURVEY.md §2.1): no spark-xml connector ships
     offline, but Spark 4's built-in ``from_xml`` parses an XML *string
     column* against a struct schema — which covers the reference's
     element-per-row semantics once rows are lines/strings. Malformed
-    rows yield nulls (validation-as-filter: pair with ``.where``)."""
+    rows yield nulls (validation-as-filter: pair with ``.where``).
+
+    ``xsd_path`` enables real XmlSchemaValidation (§2.5): each row is
+    validated against the XSD (Spark's built-in ``rowValidationXSDPath``
+    option, javax.xml.validation under the hood) and failing rows null
+    out exactly like malformed ones — route them with
+    ``operators.errors``. The path must be visible to executors
+    (local FS here; ship via ``SparkContext.addFile`` on a cluster)."""
     from pyspark.sql import functions as F
 
-    parsed = df.withColumn("__x", F.from_xml(F.col(xml_col), schema))
+    opts = {"rowValidationXSDPath": xsd_path} if xsd_path else {}
+    parsed = df.withColumn("__x", F.from_xml(F.col(xml_col), schema, opts))
     keep = [c for c in df.columns if c != xml_col]
     return parsed.select(
         *keep,
@@ -124,9 +137,22 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overw
     to_xml_rows(df, row_tag).write.mode(mode).text(path)
 
 
+def xsd_to_schema(spark: SparkSession, xsd: str) -> T.StructType:
+    """XmlSchemaValidation companion (§2.5): derive the row StructType
+    from an XSD document (string content) via Spark's built-in catalyst
+    ``XSDToSchema`` — so the schema handed to ``xml_rows`` and the XSD
+    enforced by ``xsd_path`` come from the same single source of truth."""
+    import json as _json
+
+    j = spark._jvm.org.apache.spark.sql.execution.datasources.xml.XSDToSchema.read(xsd)
+    return T.StructType.fromJson(_json.loads(j.json()))
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
-    """DbSource against a real database (needs a reachable JDBC url +
-    driver jar; not exercisable in this sandbox)."""
+    """DbSource against a real database over JDBC. Tested offline against
+    the embedded Derby engine that ships in Spark's jars
+    (tests/test_jdbc.py), incl. partitioned parallel reads
+    (``partitionColumn``/``numPartitions``) and filter pushdown."""
     return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
 
 

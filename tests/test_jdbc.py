@@ -1,0 +1,91 @@
+"""DbSource/DbDestination over real JDBC (SURVEY.md §2.1/§2.2).
+
+The sandbox has no external database, but the Spark distribution ships
+Apache Derby (``$SPARK_HOME/jars/derby*.jar``) — an embedded, in-JVM
+SQL engine — so the JDBC read/write paths previously declared
+"untestable offline" are exercisable end-to-end: ``write_jdbc`` creates
+and loads a real table through the JDBC sink, ``read_jdbc`` reads it
+back through the JDBC scan, including the two properties that matter at
+scale: partitioned parallel reads and filter pushdown into the database.
+
+Reference parity: ETLBox DbSource/DbDestination [U
+ETLBox/src/Toolbox/DataFlow/DbSource.cs, DbDestination.cs] — its core
+connector pair, always tested against a live DB in the reference's own
+suite (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from etlbox_spark.sources import read_jdbc, write_jdbc
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url():
+    db_dir = "/tmp/etlbox_derby_test"
+    shutil.rmtree(db_dir, ignore_errors=True)
+    yield f"jdbc:derby:{db_dir};create=true"
+    shutil.rmtree(db_dir, ignore_errors=True)
+
+
+def _sample(spark, n=100):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            (F.col("id") * 2.5).alias("score"),
+        )
+    )
+
+
+def test_jdbc_roundtrip(spark, derby_url):
+    df = _sample(spark)
+    # createTableColumnTypes forces VARCHAR over Derby's CLOB default so
+    # the column stays filterable/comparable database-side
+    write_jdbc(
+        df, derby_url, "t_roundtrip",
+        driver=DRIVER, createTableColumnTypes="name VARCHAR(64)",
+    )
+    back = read_jdbc(spark, derby_url, "t_roundtrip", driver=DRIVER)
+    assert sorted(back.columns) == ["k", "name", "score"]
+    got = {(r.k, r.name, r.score) for r in back.collect()}
+    want = {(r.k, r.name, r.score) for r in df.collect()}
+    assert got == want
+
+
+def test_jdbc_overwrite(spark, derby_url):
+    df = _sample(spark, 10)
+    write_jdbc(df, derby_url, "t_over", driver=DRIVER)
+    write_jdbc(df, derby_url, "t_over", mode="overwrite", driver=DRIVER)
+    assert read_jdbc(spark, derby_url, "t_over", driver=DRIVER).count() == 10
+
+
+def test_jdbc_partitioned_read(spark, derby_url):
+    """The 100 TB property: a JDBC read must be able to fan out over N
+    executor tasks via partitionColumn ranges, not stream through one."""
+    write_jdbc(_sample(spark, 1000), derby_url, "t_part", driver=DRIVER)
+    back = read_jdbc(
+        spark, derby_url, "t_part", driver=DRIVER,
+        partitionColumn="k", lowerBound="0", upperBound="1000", numPartitions="4",
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 1000
+    assert back.agg({"k": "sum"}).collect()[0][0] == 499500
+
+
+def test_jdbc_filter_pushdown(spark, derby_url):
+    """Predicates on a JDBC scan must reach the database (PushedFilters
+    in the physical plan), not filter post-transfer in Spark."""
+    write_jdbc(_sample(spark, 500), derby_url, "t_push", driver=DRIVER)
+    back = read_jdbc(spark, derby_url, "t_push", driver=DRIVER).where("k >= 490")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:120]
+    assert back.count() == 10

@@ -125,3 +125,49 @@ def test_xml_destination_roundtrip(spark, tmp_path):
     back = {r.k: r.name for r in xml_rows(lines, "value", xs).collect()}
     # special characters survive the escape/unescape round trip
     assert back == {1: "alpha", 2: "beta & <gamma>"}
+
+
+def test_xsd_schema_and_row_validation(spark, tmp_path):
+    """XmlSchemaValidation (§2.5) with a real XSD: the StructType is
+    derived FROM the XSD (xsd_to_schema — single source of truth), and
+    rows that parse but violate the schema (wrong element name) null out
+    via rowValidationXSDPath, ready for error routing."""
+    from etlbox_spark.sources import xsd_to_schema
+
+    xsd = """<?xml version="1.0" encoding="UTF-8"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="id" type="xs:long"/>
+        <xs:element name="name" type="xs:string"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    xsd_file = tmp_path / "row.xsd"
+    xsd_file.write_text(xsd)
+
+    schema = xsd_to_schema(spark, xsd)
+    # XSDToSchema wraps the document element: row struct(id, name)
+    row_struct = schema["row"].dataType
+    assert [f.name for f in row_struct.fields] == ["id", "name"]
+    assert isinstance(row_struct["id"].dataType, T.LongType)
+
+    flat = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = memory_source(
+        spark,
+        [
+            ("ok", "<row><id>1</id><name>Test1</name></row>"),
+            ("bad", "<row><id>2</id><wrong>X</wrong></row>"),  # violates XSD
+        ],
+        T.StructType(
+            [T.StructField("src", T.StringType()), T.StructField("xml", T.StringType())]
+        ),
+    )
+    out = xml_rows(df, "xml", flat, xsd_path=str(xsd_file))
+    got = {r.src: (r.id, r.name) for r in out.collect()}
+    assert got["ok"] == (1, "Test1")
+    assert got["bad"] == (None, None)  # XSD-invalid row nulled, not dropped
