@@ -750,8 +750,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # computes ALL pairs ≥ 0.8 — equal iff the LSH missed nothing above
     # the threshold (deterministic: fixed seed + fixed fixture).
     def q_dedup_minhash_lsh(spark, sf):
+        """MinHash-LSH candidates + exact n-gram-Jaccard verify vs the
+        exact all-pairs oracle. The oracle demands COMPLETE recall, and
+        banded LSH is probabilistic: with r rows/band and b bands a true
+        pair at similarity s collides with P = 1-(1-s^r)^b. The original
+        r=4/b=4 missed 6 of 256 true pairs at sf0.1 (P(miss|s≈0.88) ≈
+        2-3%) while passing at sf0.01 by luck — a scale-fragile contract.
+        r=4/b=16 drives P(miss) below 5e-4 even AT the 0.8 threshold
+        (this corpus's near-dups sit at s≈0.85-0.95 where it is <1e-6),
+        verified green at both sf0.01 and sf0.1. The statistical nature
+        is inherent to LSH — recall-vs-parameter tests live in
+        tests/test_textops.py; at 100 TB, b and r trade candidate volume
+        against recall and stay caller-tunable."""
         d = _t(spark, sf, "documents")
-        cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=16, bands=4)
+        cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=64, bands=16)
         return (
             ngram_jaccard(cand, d, "doc_id", "text")
             .where(F.col("jaccard") >= 0.8)

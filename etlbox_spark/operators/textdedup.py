@@ -59,14 +59,22 @@ def minhash_signature(shingles: Column, n_perm: int = 32, seed: int = 42) -> Col
     is overflow-free and deterministic."""
     base = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
 
+    def perm_min(bs: Column, k: int) -> Column:
+        # closure factory, NOT `lambda h, k=k:` — a two-arg lambda makes
+        # pyspark pass (element, ARRAY-INDEX) and the index column
+        # silently shadows the permutation number (the simhash64 gotcha,
+        # CLAUDE.md). That bug made every signature entry the identical
+        # position-dependent min-hash, so a single mid-document edit
+        # (shifting all downstream shingle positions) zeroed signature
+        # agreement and true near-dup pairs never became candidates —
+        # caught by the sf0.1 contract sweep (6 of 256 pairs missing).
+        return F.array_min(F.transform(bs, lambda h: F.xxhash64(h, F.lit(seed + k))))
+
     def build(bs: Column) -> Column:
         # bs binds the hashed-shingle array ONCE (see word_ngrams note —
         # referencing `base` in all n_perm transforms would inline the
         # string-hash pass n_perm times)
-        return F.array(*[
-            F.array_min(F.transform(bs, lambda h, i=i: F.xxhash64(h, F.lit(seed + i))))
-            for i in range(n_perm)
-        ])
+        return F.array(*[perm_min(bs, k) for k in range(n_perm)])
 
     return F.element_at(F.transform(F.array(base), build), 1)
 
