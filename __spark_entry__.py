@@ -49,6 +49,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch dir, WIPED on each invocation (ADVICE r03:
+    mkdtemp leaked one dir — with written data — per queries() call, and
+    bench/contract harnesses invoke these repeatedly)."""
+    import os
+    import shutil
+
+    d = os.path.join("/tmp", "etlbox_contract_scratch", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 # ---------------------------------------------------------------- CDC core
 
 _EV_SPEC = MergeSpec(
@@ -492,9 +505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Both branches must recover the source values exactly, so the
         oracle is simply the source table twice (CLAUDE.md: round-trip
         oracles state the expected identity directly)."""
-        import shutil as _sh
-        import tempfile as _tf
-
         from etlbox_spark.sources import read_excel, to_xml_rows, write_excel, xml_rows
         from pyspark.sql import types as T
 
@@ -507,8 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("xml").alias("fmt"), "n_nationkey", "n_name"
         )
 
-        xl_dir = _tf.mkdtemp(prefix="etlbox_contract_xlsx_")
-        _sh.rmtree(xl_dir, ignore_errors=True)
+        xl_dir = _scratch("xlsx_roundtrip")
         write_excel(n.coalesce(1), xl_dir).collect()  # eager: files must exist for the read plan
         via_xlsx = read_excel(spark, xl_dir, schema=xs).select(
             F.lit("xlsx").alias("fmt"), "n_nationkey", "n_name"
@@ -672,14 +681,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark.sql. The oracle states the same aggregate over the source
         parquet directly — equal iff the lake write→read→view→SQL chain
         preserved every row."""
-        import tempfile
-
         from etlbox_spark.engine.lake import LakeTable
         from etlbox_spark.functions.hashing import bucket_expr
         from etlbox_spark.tasks import create_view_task, sql_task
 
         n = _t(spark, sf, "nation")
-        root = tempfile.mkdtemp(prefix="etlbox_sqltask_") + "/nation"
+        root = _scratch("sqltask") + "/nation"
         t = LakeTable.create(root, schema=n.schema, key_cols=["n_nationkey"], n_buckets=8)
         t.overwrite(n.withColumn("bucket", bucket_expr(8, "n_nationkey")), epoch_id=1)
         create_view_task(spark, root, "nation_lake")

@@ -367,7 +367,11 @@ class LakeTable:
         ).collect()
         hashes = sorted({int(r["h"]) for r in hb})
         bks = sorted({int(r["b"]) for r in hb})
-        df = self.read(spark, buckets=bks, key_hashes=hashes)
+        # pin the snapshot the hashes/buckets were derived from (ADVICE
+        # r03): re-resolving _latest inside read() would race a concurrent
+        # commit/rebucket — bucket ids computed under the old n_buckets
+        # would prune the wrong files of the new snapshot
+        df = self.read(spark, buckets=bks, key_hashes=hashes, version=m.version)
         return df.join(F.broadcast(probe), on=list(m.key_cols), how="left_semi")
 
     # --------------------------------------------------------------- write

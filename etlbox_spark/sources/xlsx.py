@@ -31,6 +31,7 @@ from __future__ import annotations
 import glob as _glob
 import io
 import os
+import posixpath
 import zipfile
 from typing import Iterable, Iterator
 from xml.etree import ElementTree as ET
@@ -57,7 +58,7 @@ def _col_index(cell_ref: str) -> int:
     return n - 1
 
 
-def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
+def _cell_value(c: ET.Element, shared: list[str], typed: bool = False):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find(f"{_M}is")
@@ -69,19 +70,29 @@ def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
     if t == "s":
         return shared[int(raw)]
     if t == "b":
-        return "true" if raw == "1" else "false"
+        return (raw == "1") if typed else ("true" if raw == "1" else "false")
+    if typed and t == "n":
+        try:
+            return int(raw)
+        except ValueError:
+            try:
+                return float(raw)
+            except ValueError:
+                return raw  # malformed numeric: surface the text
     return raw  # n / str / e: the raw decimal / formula-result / error text
 
 
 def xlsx_bytes_to_rows(
-    data: bytes, sheet: int | str = 0
-) -> list[list[str | None]]:
+    data: bytes, sheet: int | str = 0, typed: bool = False
+) -> list[list]:
     """Decode one workbook's sheet into rows of optional strings.
 
     ``sheet`` selects by position in workbook order (int) or by sheet
     name (str). Missing cells inside a row come back as None; trailing
     ragged rows are NOT padded here (the Spark layer pads to the header
-    width).
+    width). ``typed=True`` surfaces native cell types (numeric cells as
+    int/float, boolean cells as bool) instead of their wire text — used
+    by ``read_excel(infer_types=True)``'s schema sniff.
     """
     zf = zipfile.ZipFile(io.BytesIO(data))
 
@@ -102,7 +113,16 @@ def xlsx_bytes_to_rows(
         for r in rels.findall(f"{{{_NS_REL_PKG}}}Relationship")
         if r.get("Id") == rid
     )
-    sheet_path = "xl/" + target.lstrip("/") if not target.startswith("/xl/") else target[1:]
+    # OPC relationship targets: absolute ("/xl/worksheets/s1.xml" or even
+    # "/worksheets/s1.xml") are package-rooted; relative ones resolve
+    # against the source part's directory (xl/). Normalize explicitly —
+    # lstrip-based splicing mangled foreign absolute targets (ADVICE r03).
+    if target.startswith("/"):
+        sheet_path = target[1:]
+        if sheet_path not in zf.namelist() and "xl/" + sheet_path in zf.namelist():
+            sheet_path = "xl/" + sheet_path  # producer wrote part-relative-absolute
+    else:
+        sheet_path = posixpath.normpath(posixpath.join("xl", target))
 
     shared: list[str] = []
     if "xl/sharedStrings.xml" in zf.namelist():
@@ -119,7 +139,7 @@ def xlsx_bytes_to_rows(
                 idx = _col_index(ref)
                 while len(row) < idx:
                     row.append(None)  # gap: absent cells are omitted on disk
-            row.append(_cell_value(c, shared))
+            row.append(_cell_value(c, shared, typed))
         rows.append(row)
     return rows
 
@@ -148,13 +168,24 @@ _WB_RELS = (
 
 
 def rows_to_xlsx_bytes(
-    rows: Iterable[Iterable[str | None]], sheet_name: str = "Sheet1"
+    rows: Iterable[Iterable[str | None]],
+    sheet_name: str = "Sheet1",
+    col_kinds: "list[str] | None" = None,
+    header_rows: int = 0,
 ) -> bytes:
     """Encode rows of optional strings as a minimal valid workbook.
 
-    Inline strings only (no shared-string table — write-once ETL output
-    gains nothing from the extra indirection); None cells are omitted;
-    the zip timestamp is pinned so identical rows give identical bytes.
+    Inline strings only by default (no shared-string table — write-once
+    ETL output gains nothing from the extra indirection); None cells are
+    omitted; the zip timestamp is pinned so identical rows give
+    identical bytes.
+
+    ``col_kinds`` (VERDICT r03 #8, typed cells): per-column wire kind —
+    ``"n"`` emits the cell text as a NATIVE numeric cell (XLSX stores
+    numbers as decimal text, so the canonical Spark string cast IS the
+    wire value — no float round-trip ever happens on the write path),
+    ``"b"`` a native boolean cell, anything else an inline string. The
+    first ``header_rows`` rows are always strings (the header).
     """
     parts = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -166,7 +197,20 @@ def rows_to_xlsx_bytes(
             if val is None:
                 continue
             ref = _col_letters(c_i) + str(r_i)
-            cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(val))}</t></is></c>')
+            kind = (
+                "s"
+                if col_kinds is None or r_i <= header_rows or c_i >= len(col_kinds)
+                else col_kinds[c_i]
+            )
+            if kind == "n":
+                cells.append(f'<c r="{ref}"><v>{escape(str(val))}</v></c>')
+            elif kind == "b":
+                bit = "1" if str(val).lower() in ("true", "1") else "0"
+                cells.append(f'<c r="{ref}" t="b"><v>{bit}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(val))}</t></is></c>'
+                )
         parts.append(f'<row r="{r_i}">' + "".join(cells) + "</row>")
     parts.append("</sheetData></worksheet>")
     sheet_xml = "".join(parts)
@@ -206,8 +250,8 @@ def _local(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
 
-def _peek_columns(path: str, sheet: int | str, header: bool) -> list[str]:
-    """Driver-side header peek of ONE file (bounded, analogous to CSV
+def _first_file_bytes(path: str) -> bytes:
+    """Driver-side peek of ONE file (bounded, analogous to CSV
     inferSchema's first-file sniff). Local paths only — on an object
     store pass ``columns=``/``schema=`` explicitly."""
     p = _local(path)
@@ -217,14 +261,39 @@ def _peek_columns(path: str, sheet: int | str, header: bool) -> list[str]:
         candidates = sorted(_glob.glob(p))
     if not candidates:
         raise FileNotFoundError(f"no .xlsx files under {path}")
-    rows = xlsx_bytes_to_rows(open(candidates[0], "rb").read(), sheet)
+    return open(candidates[0], "rb").read()
+
+
+def _peek_names(rows: list[list], header: bool) -> list[str]:
     width = max((len(r) for r in rows), default=0)
     if header and rows:
         return [
-            rows[0][i] if i < len(rows[0]) and rows[0][i] is not None else f"_c{i}"
+            str(rows[0][i]) if i < len(rows[0]) and rows[0][i] is not None else f"_c{i}"
             for i in range(width)
         ]
     return [f"_c{i}" for i in range(width)]
+
+
+def _infer_schema(rows: list[list], names: list[str], header: bool) -> T.StructType:
+    """Schema sniff from ONE file's native cell types (the analog of CSV
+    inferSchema): all-int numeric column → long, numeric with any float
+    → double, all-boolean → boolean, anything else (or empty) → string.
+    Like CSV inference this trusts the first file to be representative —
+    pass ``schema=`` when it isn't."""
+    data = rows[1:] if header and rows else rows
+    fields = []
+    for i, n in enumerate(names):
+        seen = {type(r[i]) for r in data if i < len(r) and r[i] is not None}
+        if seen and seen <= {int}:
+            t: T.DataType = T.LongType()
+        elif seen and seen <= {int, float}:
+            t = T.DoubleType()
+        elif seen == {bool}:
+            t = T.BooleanType()
+        else:
+            t = T.StringType()
+        fields.append(T.StructField(n, t))
+    return T.StructType(fields)
 
 
 def read_excel(
@@ -234,6 +303,7 @@ def read_excel(
     sheet: int | str = 0,
     header: bool = True,
     columns: list[str] | None = None,
+    infer_types: bool = False,
 ) -> DataFrame:
     """ExcelSource analog: dir/glob of .xlsx → DataFrame.
 
@@ -242,14 +312,23 @@ def read_excel(
     ``schema`` (JVM ``cast``, same typed-ingest discipline as CSV;
     route failures with operators/errors.typed_ingest if needed).
     Column names come from ``schema``/``columns`` or a one-file
-    driver-side header peek.
+    driver-side header peek. ``infer_types=True`` derives the schema
+    from the first file's native cell types (numeric/boolean cells →
+    long/double/boolean) so typed workbooks round-trip without caller
+    casts; default stays the wire-faithful all-string surface.
     """
     if schema is not None:
         names = [f.name for f in schema.fields]
     elif columns is not None:
         names = list(columns)
+        if infer_types:
+            typed_rows = xlsx_bytes_to_rows(_first_file_bytes(path), sheet, typed=True)
+            schema = _infer_schema(typed_rows, names, header)
     else:
-        names = _peek_columns(path, sheet, header)
+        typed_rows = xlsx_bytes_to_rows(_first_file_bytes(path), sheet, typed=True)
+        names = _peek_names(typed_rows, header)
+        if infer_types:
+            schema = _infer_schema(typed_rows, names, header)
     out_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
 
     def decode(batches: Iterator) -> Iterator:
@@ -279,15 +358,25 @@ def write_excel(df: DataFrame, out_dir: str, sheet_name: str = "Sheet1") -> Data
 
     Every column is cast to string Spark-side (JVM cast — canonical,
     deterministic formatting) before the Arrow-batched encode; the
-    header row is the column names. Returns a tiny per-partition
-    manifest DataFrame (path, rows) — materializing it performs the
-    write, mirroring how the lake layer reports commits.
+    header row is the column names. Numeric/boolean source columns are
+    written as NATIVE numeric/boolean cells (VERDICT r03 #8) — XLSX
+    numbers are decimal text on the wire, so the canonical cast string
+    is bit-faithful and ``read_excel(infer_types=True)`` round-trips
+    long/double/boolean without caller casts. Returns a tiny
+    per-partition manifest DataFrame (path, rows) — materializing it
+    performs the write, mirroring how the lake layer reports commits.
 
     Tasks write through their local filesystem API — in cluster mode
     point ``out_dir`` at shared storage (NFS/FUSE mount), as with any
     non-Hadoop sink.
     """
     names = df.columns
+    kinds = [
+        "n"
+        if isinstance(f.dataType, T.NumericType)
+        else ("b" if isinstance(f.dataType, T.BooleanType) else "s")
+        for f in df.schema.fields
+    ]
     str_df = df.select(*[F.col(c).cast("string").alias(c) for c in names])
     man_schema = T.StructType(
         [T.StructField("path", T.StringType()), T.StructField("rows", T.LongType())]
@@ -305,7 +394,7 @@ def write_excel(df: DataFrame, out_dir: str, sheet_name: str = "Sheet1") -> Data
         os.makedirs(out_dir, exist_ok=True)
         out_path = os.path.join(out_dir, f"part-{pid:05d}.xlsx")
         with open(out_path, "wb") as f:
-            f.write(rows_to_xlsx_bytes(all_rows, sheet_name))
+            f.write(rows_to_xlsx_bytes(all_rows, sheet_name, col_kinds=kinds, header_rows=1))
         yield pd.DataFrame({"path": [out_path], "rows": [len(all_rows) - 1]})
 
     return str_df.mapInPandas(encode, schema=man_schema)

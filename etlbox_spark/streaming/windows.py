@@ -195,14 +195,25 @@ def stateful_sessionize(
         counts = np.bincount(seg)
         sessions = [(int(s), int(l), int(n)) for s, l, n in zip(starts, lasts, counts)]
 
-        # stitch the carried-over open session onto the first segment
+        # stitch the carried-over open session by FULL interval merge
+        # (ADVICE r03): a late-but-within-watermark batch can deliver
+        # segments that PRECEDE, span, or follow the carried session, so
+        # naive "first segment within gap → extend" both merges logically
+        # distinct earlier sessions and keeps the wrong session_start.
+        # Insert the carried interval, sort by start, and linearly merge
+        # adjacent intervals whose gap is <= gap_ms — exactly the
+        # F.session_window merge rule, valid for any in-watermark order.
         if state.exists:
-            start_ms, last_ms, n = state.get
-            if sessions and sessions[0][0] - last_ms <= gap_ms:
-                first = sessions[0]
-                sessions[0] = (start_ms, max(last_ms, first[1]), n + first[2])
-            else:
-                sessions.insert(0, (start_ms, last_ms, n))
+            sessions.append(tuple(state.get))
+            sessions.sort()
+            merged = [sessions[0]]
+            for s in sessions[1:]:
+                cur = merged[-1]
+                if s[0] - cur[1] <= gap_ms:
+                    merged[-1] = (cur[0], max(cur[1], s[1]), cur[2] + s[2])
+                else:
+                    merged.append(s)
+            sessions = merged
 
         closed, open_ = sessions[:-1], sessions[-1]
         if closed:

@@ -64,6 +64,39 @@ def test_lookup_dedupes_lookup_side(spark):
     assert out.count() == c.count()  # no fan-out
 
 
+def test_lookup_dup_key_deterministic_survivor(spark):
+    """VERDICT r03 #1: duplicate match keys with DIFFERENT payloads must
+    resolve to the same survivor on every run — never an arbitrary
+    partition-order-dependent row."""
+    dim = spark.createDataFrame(
+        [(1, "zulu", 30), (1, "alpha", 10), (1, "mike", 20), (2, "only", 5)],
+        "k int, name string, seq int",
+    ).repartition(4)  # scatter dup keys across partitions on purpose
+    facts = spark.createDataFrame([(1,), (2,), (1,)], "k int")
+    # no order_col: lexicographically-smallest payload struct wins
+    got = {
+        (r.k, r.name)
+        for r in lookup(facts, dim, ["k"], {"name": "name"}).collect()
+    }
+    assert got == {(1, "alpha"), (2, "only")}
+    # order_col: lowest seq wins ("first match" analog), not min payload
+    dim2 = spark.createDataFrame(
+        [(1, "zulu", 1), (1, "alpha", 2)], "k int, name string, seq int"
+    ).repartition(3)
+    got2 = {
+        (r.k, r.name)
+        for r in lookup(facts, dim2, ["k"], {"name": "name"}, order_col="seq").collect()
+    }
+    assert got2 == {(1, "zulu"), (2, None)}
+    # repeated runs agree (determinism smoke over shuffled input)
+    for _ in range(3):
+        again = {
+            (r.k, r.name)
+            for r in lookup(facts, dim.repartition(7), ["k"], {"name": "name"}).collect()
+        }
+        assert again == got
+
+
 def test_lookup_partial_cache_smj(spark):
     """partial-cache mode: same result as full-cache, but via a shuffled
     sort-merge join (no broadcast of the dim side)."""

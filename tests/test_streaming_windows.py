@@ -206,3 +206,50 @@ def test_stateful_sessionize_stream(spark, stream_dir, own_stream, tmp_path):
         if r["session_start"].timestamp() - BASE < 50_000
     }
     assert stream_real == batch
+
+
+def test_stateful_sessionize_out_of_order_batches(spark, tmp_path):
+    """ADVICE r03: a late-but-within-watermark batch whose events PRECEDE
+    (repo_x) or SPAN (repo_y) the carried open session must interval-merge
+    like F.session_window — not glue a distinct earlier session onto the
+    carried one, and not keep the carried start as session_start."""
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    batches = [
+        # b0 opens: x@10000, y@5000
+        [("repo_x", 10000), ("repo_y", 5000)],
+        # b1 late data: x events 2000/2500 form a DISTINCT earlier session
+        # (10000-2500 > gap); y events 3500/6500 each within gap of the
+        # carried 5000 — the carried session BRIDGES them into one
+        [("repo_x", 2000), ("repo_x", 2500), ("repo_y", 3500), ("repo_y", 6500)],
+        # sentinel closes every real session by gap
+        [("repo_x", SENTINEL_1), ("repo_y", SENTINEL_1)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_file(os.path.join(d, f"b{i}.parquet"), rows, 1_700_000_000 + i * 10)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_to_parquet_available_now(
+        # 4h watermark so the b1 stragglers are late-but-IN-watermark
+        stateful_sessionize(stream, gap_seconds=GAP_S, watermark="4 hours"),
+        out, ckpt,
+    )
+    got = {
+        (r["repo"], r["session_start"].timestamp() - BASE): (
+            r["session_last"].timestamp() - BASE, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("repo_x", 2000.0): (2500.0, 2),   # distinct earlier session, own start
+        ("repo_x", 10000.0): (10000.0, 1),
+        ("repo_y", 3500.0): (6500.0, 3),   # carried 5000 bridges 3500+6500
+    }
+    # and the closed set equals the declarative batch oracle on real events
+    real = spark.read.parquet(d).filter(
+        F.col("ts") < F.timestamp_seconds(F.lit(BASE + 50_000)))
+    oracle = {
+        (r["repo"], r["session_start"].timestamp() - BASE): r["n_events"]
+        for r in session_windows(real, gap="30 minutes").collect()
+    }
+    assert {(k, s): n for (k, s), (_, n) in got.items()} == oracle

@@ -93,6 +93,68 @@ def test_codec_shared_strings_and_sheet_select():
         xlsx_bytes_to_rows(buf.getvalue(), sheet="nope")
 
 
+def test_codec_absolute_rel_targets():
+    """ADVICE r03: foreign-produced workbooks may write ABSOLUTE
+    relationship targets ('/xl/worksheets/sheet1.xml' or even
+    '/worksheets/sheet1.xml'); both must resolve."""
+    import io as _io
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>ok</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    for target in ("/xl/worksheets/sheet1.xml", "/worksheets/sheet1.xml", "worksheets/sheet1.xml"):
+        rels = (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="w" Target="{target}"/></Relationships>'
+        )
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", wb)
+            zf.writestr("xl/_rels/workbook.xml.rels", rels)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        assert xlsx_bytes_to_rows(buf.getvalue()) == [["ok"]], target
+
+
+def test_codec_typed_cells():
+    data = rows_to_xlsx_bytes(
+        [["k", "n", "d", "b"], ["x", "42", "1.5", "true"], ["y", None, "2.0", "false"]],
+        col_kinds=["s", "n", "n", "b"],
+        header_rows=1,
+    )
+    assert xlsx_bytes_to_rows(data, typed=True) == [
+        ["k", "n", "d", "b"],
+        ["x", 42, 1.5, True],
+        ["y", None, 2.0, False],
+    ]
+    # untyped read still surfaces wire text
+    assert xlsx_bytes_to_rows(data)[1] == ["x", "42", "1.5", "true"]
+
+
+def test_spark_typed_roundtrip_no_casts(spark, tmp_path):
+    """VERDICT r03 #8: long/double/boolean round-trip typed with zero
+    caller casts — including a long beyond float53 precision."""
+    big = 4611686018427387904 + 7  # 2^62 + 7: breaks any float round-trip
+    src = spark.createDataFrame(
+        [(1, big, 1.5, True, "a"), (2, 3, 2.25, False, None)],
+        "id long, big long, score double, flag boolean, tag string",
+    )
+    out = str(tmp_path / "xl")
+    write_excel(src.coalesce(1), out).collect()
+    back = read_excel(spark, out, infer_types=True)
+    assert back.schema == src.schema
+    assert back.orderBy("id").collect() == src.orderBy("id").collect()
+
+
 def test_spark_roundtrip_partitioned(spark, tmp_path):
     src = spark.range(100).select(
         F.col("id"),
