@@ -68,7 +68,9 @@ HEADLINE_QUERIES = [
     "cdc_merge_delta",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "corpus_dedup_survivors",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "token_count",
     "lang_id",
 ]
@@ -310,6 +312,99 @@ def bench_merge_replay(spark, sf: float, n_buckets: int, log) -> tuple[dict, dic
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_mor_small_epochs(spark, cpus: int, log) -> dict:
+    """VERDICT r03 #6: the small-epoch/LARGE-table regime — where MoR's
+    write-amplification win actually lives. The headline replay's epochs
+    touch ~20% of the table each (CoW rewrites those buckets anyway →
+    bytes parity, write_bytes_vs_cow ≈ 1.1); a binlog tail at design
+    scale instead lands TINY epochs on a big table, where CoW rewrites
+    multi-MB buckets to change a few rows. Trimmed replica of
+    tools/bench_mor.py (BENCH_MOR.json is the full study): seed both
+    modes with one large epoch, apply K small update epochs to each,
+    report bytes written + the amplification ratio + state parity.
+    """
+    from etlbox_spark.engine.gen import gen_events, write_events
+    from etlbox_spark.engine.lake import LakeTable
+    from etlbox_spark.engine.merge import apply_epoch
+    from etlbox_spark.engine.spec import MergeMode, MergeSpec
+
+    seed_n = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_SEED", "400000"))
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_EPOCHS", "6"))
+    m = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_ROWS", "2000"))
+    spec = MergeSpec()
+    ev_schema = T.StructType(
+        [T.StructField("event_seq", T.LongType(), False),
+         T.StructField("op", T.StringType(), False)]
+        + list(REPO_FILES_SCHEMA.fields)
+    )
+    work = tempfile.mkdtemp(
+        prefix="bench_small_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    try:
+        ev_dir = os.path.join(work, "events")
+        write_events(
+            gen_events(spark, seed_n, n_repos=max(50, seed_n // 5_000),
+                       paths_per_repo=500, epoch_size=seed_n, seed=42),
+            ev_dir,
+        )
+        seed = spark.read.parquet(ev_dir)
+        tables = {}
+        for mode in ("cow", "mor"):
+            t = LakeTable.create(
+                os.path.join(work, mode), REPO_FILES_SCHEMA, ["repo", "path"],
+                n_buckets=max(cpus, 32), properties={"write.mode": mode},
+            )
+            apply_epoch(spark, t, seed, spec, MergeMode.DELTA, 0)
+            tables[mode] = t
+        keys = (
+            tables["cow"].read(spark, with_bucket=False)
+            .select("repo", "path").orderBy("repo", "path").limit(k * m).collect()
+        )
+        out: dict = {"seed_events": seed_n, "k_epochs": k, "rows_per_epoch": m,
+                     "modes": {}}
+        for mode, t in tables.items():
+            walls, bytes_w = [], []
+            for i in range(k):
+                rows = [
+                    (seed_n + 1 + i * m + j, "update", r.repo, r.path,
+                     f"c{i:03d}", "py", f"content-e{i}-{r.repo}/{r.path}")
+                    for j, r in enumerate(keys[i * m:(i + 1) * m])
+                ]
+                df = spark.createDataFrame(rows, ev_schema)
+                b0 = _dir_bytes(t._data_dir)
+                t0 = time.perf_counter()
+                apply_epoch(spark, t, df, spec, MergeMode.DELTA, i + 1)
+                walls.append(round(time.perf_counter() - t0, 3))
+                bytes_w.append(_dir_bytes(t._data_dir) - b0)
+            out["modes"][mode] = {
+                "total_wall_s": round(sum(walls), 3),
+                "total_bytes_written": sum(bytes_w),
+            }
+            if mode == "mor":
+                t0 = time.perf_counter()
+                t.compact(spark)
+                out["modes"][mode]["compact_s"] = round(time.perf_counter() - t0, 3)
+        a = {(r.repo, r.path): r.content
+             for r in tables["cow"].read(spark, with_bucket=False).collect()}
+        b = {(r.repo, r.path): r.content
+             for r in tables["mor"].read(spark, with_bucket=False).collect()}
+        out["state_match"] = a == b
+        out["write_amplification_cow_vs_mor"] = round(
+            out["modes"]["cow"]["total_bytes_written"]
+            / max(out["modes"]["mor"]["total_bytes_written"], 1), 2
+        )
+        log(
+            f"mor small-epoch regime: CoW wrote "
+            f"{out['modes']['cow']['total_bytes_written'] / 1e6:,.0f} MB vs MoR "
+            f"{out['modes']['mor']['total_bytes_written'] / 1e6:,.0f} MB "
+            f"({out['write_amplification_cow_vs_mor']}x amplification), "
+            f"state_match={out['state_match']}"
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -344,10 +439,34 @@ def main() -> None:
             queries_s[name] = round(dt, 3)
             log(f"{name:24s} {dt:7.2f}s")
 
+    small = None
+    if run_queries and os.environ.get("SPARK_GRAFT_BENCH_MOR_SMALL", "1") != "0":
+        small = bench_mor_small_epochs(spark, cpus, log)
+        queries_s["mor_small_epochs"] = round(
+            small["modes"]["cow"]["total_wall_s"]
+            + small["modes"]["mor"]["total_wall_s"]
+            + small["modes"]["mor"].get("compact_s", 0.0), 3
+        )
+
     total = round(sum(queries_s.values()), 3)
+    # r04 adds suite entries (corpus_dedup_survivors, ann_ivf_topk,
+    # mor_small_epochs) — `value` grows by construction, NOT by engine
+    # regression. `value_r03_comparable` sums exactly the r03 suite so
+    # cross-round comparison stays protocol-clean (CLAUDE.md: bisect
+    # protocol before engine).
+    r03_set = {
+        "merge_apply_replay", "merge_apply_mor", "q1_pricing_summary", "lookup",
+        "aggregation", "top_k_per_group", "window_running", "windowed_counts",
+        "session_windows", "dedupe_lww", "cdc_merge_full", "cdc_merge_delta",
+        "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk", "token_count",
+        "lang_id",
+    }
     out = {
         "metric": "headline suite wall time (CDC merge-apply replay + operator queries)",
         "value": total,
+        "value_r03_comparable": round(
+            sum(v for k, v in queries_s.items() if k in r03_set), 3
+        ),
         "unit": "sec",
         "queries": queries_s,
         "sf": sf,
@@ -356,6 +475,8 @@ def main() -> None:
     }
     if mor is not None:
         out["merge_apply_mor"] = mor
+    if small is not None:
+        out["mor_small_epochs"] = small
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -1,0 +1,148 @@
+"""End-to-end composed pipelines (VERDICT r03 #2/#3):
+
+* ``corpus_dedup_pipeline`` — documents → exact dedup → LSH candidates →
+  exact-Jaccard edges → connected components → canonical survivors
+  committed through LakeTable, checked against an independent
+  pure-Python oracle (its own normalizer/shingler/union-find — no Spark
+  expressions reused).
+* ``ivf_lake_build``/``ivf_lake_topk`` — the IVF cluster id as the lake
+  bucket key: probe results must equal the plain DataFrame IVF path AND
+  the probe scan must touch only the probed clusters' files (manifest
+  pruning observed via ``inputFiles()``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from etlbox_spark.operators.similarity import (
+    ivf_assign,
+    ivf_lake_build,
+    ivf_lake_topk,
+    ivf_topk,
+    kmeans_centroids,
+    probe_clusters,
+)
+from etlbox_spark.operators.textdedup import corpus_dedup_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------- corpus dedup
+
+DOCS = [
+    # exact-dup family (same normalized text): 0 survives, 1/2 drop
+    (0, "The quick brown fox jumps over the lazy dog today"),
+    (1, "the  quick Brown fox jumps over the lazy dog today"),
+    (2, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TODAY"),
+    # near-dup family (one word changed): 3 survives, 4 drops; 5 chains
+    # to 4 (transitive) and drops too
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu xi"),
+    # uniques
+    (6, "completely unrelated text about spark partition pruning strategies"),
+    (7, "another standalone document mentioning watermark semantics only"),
+]
+
+
+def _py_oracle(docs: list[tuple[int, str]], thr: float = 0.8) -> set[int]:
+    """Independent replay: normalize+sha256 exact stage, word-3-gram
+    Jaccard all-pairs, union-find, min-id survivors."""
+    norm = {i: re.sub(r"\s+", " ", t.strip().lower()) for i, t in docs}
+    by_fp: dict[str, int] = {}
+    for i in sorted(norm):
+        fp = hashlib.sha256(norm[i].encode()).hexdigest()
+        by_fp.setdefault(fp, i)
+    surv = sorted(by_fp.values())
+
+    def shingles(s: str) -> set[str]:
+        toks = s.split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(norm[i]) for i in surv}
+    parent = {i: i for i in surv}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in surv:
+        for b in surv:
+            if a < b:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= thr:
+                    ra, rb = find(a), find(b)
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in surv if find(i) == i}
+
+
+def test_corpus_dedup_pipeline_matches_python_oracle(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    root = str(tmp_path / "corpus")
+    t, final = corpus_dedup_pipeline(docs, root, n_perm=64, bands=16, epoch_id=7)
+
+    want = _py_oracle(DOCS)
+    assert want == {0, 3, 6, 7}  # sanity of the fixture design
+    got = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert got == want
+    # full content survives the lake round-trip
+    texts = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    src = dict(DOCS)
+    assert all(texts[i] == src[i] for i in got)
+    # exactly-once: the epoch marker is recorded and a replayed commit is
+    # a no-op (same snapshot version back)
+    m = t.manifest()
+    assert 7 in m.committed_epochs
+    assert t.overwrite(final.limit(0), epoch_id=7) == m.version
+
+
+def test_corpus_dedup_pipeline_on_fixture_docs(spark, tmp_path):
+    """Fixture-scale smoke on the real documents table: survivor count =
+    total - (exact dups) - (near-dup non-canonical members), and the
+    pipeline result is stable across two runs (determinism)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    r1 = str(tmp_path / "r1")
+    t1, _ = corpus_dedup_pipeline(d, r1)
+    got1 = sorted(r["doc_id"] for r in t1.read(spark).select("doc_id").collect())
+    t2, _ = corpus_dedup_pipeline(d, str(tmp_path / "r2"))
+    got2 = sorted(r["doc_id"] for r in t2.read(spark).select("doc_id").collect())
+    assert got1 == got2
+    assert 0 < len(got1) <= d.count()
+
+
+# --------------------------------------------------------------- IVF lake
+
+
+def test_ivf_lake_probe_matches_and_prunes(spark, tmp_path):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(e, "embedding", 8, iters=2)
+    qv = [float(x) for x in e.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+
+    root = str(tmp_path / "ivf")
+    t = ivf_lake_build(e, root, "embedding", cents)
+
+    # result parity with the plain DataFrame IVF path
+    direct = ivf_topk(ivf_assign(e, "embedding", cents), "embedding", qv, cents, k=5, n_probe=2)
+    via_lake = ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2)
+    assert [tuple(r) for r in via_lake.collect()] == [tuple(r) for r in direct.collect()]
+
+    # file pruning: the probe scan reads ONLY the probed clusters' files
+    probe = set(probe_clusters(qv, cents, 2))
+    m = t.manifest()
+    by_name = {os.path.basename(f["path"]): f["bucket"] for f in m.files}
+    pruned = t.read(spark, buckets=sorted(probe))
+    read_buckets = {by_name[os.path.basename(p)] for p in pruned.inputFiles()}
+    assert read_buckets <= probe
+    all_buckets = {f["bucket"] for f in m.files}
+    assert len(all_buckets) > len(probe), "fixture must populate more clusters than probed"
+    # and the full scan would read strictly more files
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
