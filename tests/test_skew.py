@@ -62,6 +62,42 @@ def test_salted_count_distinct_exact(spark):
     assert plain == salted
 
 
+def test_segmented_as_of_join_matches_plain(spark):
+    """VERDICT r03 #4: the segmented (skew-proof) as-of join must be
+    row-identical to the per-key-window path — including left rows before
+    any right version, segments with no right rows (boundary carry), and
+    same-timestamp ties."""
+    from etlbox_spark.operators.joins import as_of_join
+
+    n = 8_000
+    left = _skewed(spark, n).select(
+        "repo", F.col("event_seq").alias("ts"), F.col("event_seq").alias("event_id")
+    )
+    # sparse dim: a version every ~37 ticks for the hot repo, every ~211
+    # for the rest; ties at ts%1000==0 exercise right_seq ordering; the
+    # gap [2000, 4999] has NO right rows at all for any key (carry must
+    # bridge >1 empty segment)
+    right = (
+        _skewed(spark, n)
+        .where((F.col("event_seq") % 37 == 0) | (F.col("event_seq") % 211 == 0))
+        .where(~F.col("event_seq").between(2000, 4999))
+        .select(
+            "repo",
+            F.col("event_seq").alias("dts"),
+            F.col("event_seq").alias("dseq"),
+            F.col("value").alias("dim_value"),
+        )
+    )
+    plain = as_of_join(left, right, on=["repo"], left_ts="ts", right_ts="dts",
+                       right_seq="dseq")
+    seg = as_of_join(left, right, on=["repo"], left_ts="ts", right_ts="dts",
+                     right_seq="dseq", segment_width=500)
+    a = sorted(map(tuple, plain.collect()), key=lambda t: t[:3])
+    b = sorted(map(tuple, seg.collect()), key=lambda t: t[:3])
+    assert a == b
+    assert plain.count() == n
+
+
 def test_salt_spreads_hot_key_and_is_deterministic(spark):
     df = _skewed(spark, n=5_000)
     s1 = with_salt(df, "event_seq", 16)

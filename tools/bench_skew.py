@@ -27,11 +27,56 @@ SCHEMA = T.StructType(
 )
 
 
+def bench_as_of_hot_key(spark, cpus: int, n: int) -> None:
+    """VERDICT r03 #4: the as-of fill is a per-key ordered window — a
+    zipf-hot key serializes into ONE task (AQE cannot split a window).
+    Measure plain vs segmented (two-level scan) on a 90%-hot-key stream
+    and report the curve over segment widths."""
+    from etlbox_spark.operators.joins import as_of_join
+
+    hot = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("repo_hot"))
+            .otherwise(F.concat(F.lit("repo_"), (F.col("id") % 256).cast("string")))
+            .alias("repo"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+    )
+    dim = (
+        spark.range(0, n, 40)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("repo_hot"))
+            .otherwise(F.concat(F.lit("repo_"), (F.col("id") % 256).cast("string")))
+            .alias("repo"),
+            F.col("id").alias("dts"),
+            F.col("id").alias("dseq"),
+            (F.col("id") % 997).cast("double").alias("dim_value"),
+        )
+    )
+    hot.write.format("noop").mode("overwrite").save()  # scan warm-up
+
+    def run(tag: str, **kw) -> float:
+        t0 = time.perf_counter()
+        as_of_join(hot, dim, on=["repo"], left_ts="ts", right_ts="dts",
+                   right_seq="dseq", **kw).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"as-of hot-key {tag}: {dt:.1f}s ({n / dt:,.0f} rows/s)", flush=True)
+        return dt
+
+    base = run("plain (per-key window)")
+    for w in (n // 8, n // 32, n // 128):
+        dt = run(f"segmented W={w} (~{n // max(w, 1)} segs)", segment_width=w)
+        print(f"  -> speedup vs plain: {base / dt:.2f}x", flush=True)
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     spark = get_spark("bench_skew", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    bench_as_of_hot_key(spark, cpus, int(os.environ.get("SPARK_GRAFT_ASOF_N", str(n))))
     for skew in (1.5, 4.0):
         work = tempfile.mkdtemp(prefix=f"skew{skew}_", dir=SCRATCH)
         try:
