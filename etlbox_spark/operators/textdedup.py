@@ -100,9 +100,15 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         minhash_signature(word_ngrams(F.col(text_col), ngram), n_perm, seed).alias("sig"),
     )
+    # the banded self-join carries ONLY (id, band, bhash) — round 4
+    # dropped the signature array from the join sides: shipping the
+    # n_perm-long sig through a `bands`-way explode duplicates ~bands ×
+    # n_perm × 8 bytes per doc through the shuffle (8 KB/doc at 64/16),
+    # which dominates shuffle volume at corpus scale. Signatures re-join
+    # AFTER pair dedup (candidate pairs ≪ banded rows), value-identical
+    # — A/B'd equal at sf0.1, local cost parity, strictly less shuffle.
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -116,12 +122,20 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bhash")
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash")
-    pairs = (
+    ).select("id", "bb.band", "bb.bhash")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bhash")
+    cand = (
         a.join(b, on=["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
         .select(
             "id_a",
             "id_b",
@@ -134,8 +148,6 @@ def minhash_lsh_candidates(
                 / F.lit(float(n_perm))
             ).alias("est_jaccard"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
     return pairs
 
