@@ -58,3 +58,49 @@ def tail_available_now(
         writer = writer.option("checkpointLocation", stream_checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+def tail_processing_time(
+    spark: SparkSession,
+    lake: LakeTable,
+    events_glob: str,
+    events_schema: T.StructType,
+    spec: MergeSpec,
+    mode: MergeMode = MergeMode.DELTA,
+    stream_checkpoint_dir: str | None = None,
+    engine_checkpoint: Checkpoint | None = None,
+    delta_dir: str | None = None,
+    epoch_offset: int = 0,
+    interval: str = "1 second",
+    max_files_per_trigger: int | None = None,
+):
+    """TRUE unbounded tail (round 4 — the one §2.8 item previously out of
+    scope): identical foreachBatch merge core, but a ``processingTime``
+    trigger keeps the query ALIVE — binlog files landing after start are
+    picked up by the file source, batched, and merged continuously until
+    the caller ``.stop()``s the returned ``StreamingQuery``.
+
+    Exactly-once is still the LAKE's property, not the sink's: epoch id =
+    ``epoch_offset + batch_id``, so a foreachBatch retry (at-least-once)
+    of a committed batch no-ops via the epoch marker, and a restart with
+    the same ``stream_checkpoint_dir`` resumes from Spark's source
+    offsets with the same batch-id sequence. State at any instant equals
+    an epoch-loop replay of the files the source has consumed — the
+    pytest drives convergence against exactly that oracle.
+    """
+
+    def _apply(batch_df, batch_id: int) -> None:
+        res = apply_epoch(
+            spark, lake, batch_df, spec, mode, epoch_offset + int(batch_id), delta_dir=delta_dir
+        )
+        if engine_checkpoint is not None:
+            engine_checkpoint.record(res)
+
+    reader = spark.readStream.schema(events_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_glob)
+    writer = stream.writeStream.foreachBatch(_apply).trigger(processingTime=interval)
+    if stream_checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    return writer.start()

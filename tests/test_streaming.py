@@ -52,6 +52,56 @@ def test_stream_tail_matches_batch_replay(spark, tmp_path, event_stream):
     assert len(ckpt.load()["epochs"]) >= 1
 
 
+def test_stream_tail_processing_time_live(spark, tmp_path, event_stream):
+    """True unbounded tail (round 4): a processingTime-triggered query
+    stays ALIVE — files landing after start are merged continuously, and
+    the state converges to the epoch-loop replay of whatever has landed.
+    The query is stopped only at the end (it would run forever)."""
+    import shutil as _sh
+    import time as _t
+
+    from etlbox_spark.streaming.tail import tail_processing_time
+
+    events_schema = spark.read.parquet(event_stream).schema
+    live_dir = tmp_path / "live_events"
+    live_dir.mkdir()
+    epochs = sorted((p for p in __import__("pathlib").Path(event_stream).iterdir()
+                     if p.name.startswith("epoch=")), key=lambda p: p.name)
+    assert len(epochs) >= 3
+    # first epoch present BEFORE start; the rest land while the query runs
+    _sh.copytree(epochs[0], live_dir / epochs[0].name)
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 8)
+    q = tail_processing_time(
+        spark, t, f"{live_dir}/epoch=*", events_schema, SPEC,
+        stream_checkpoint_dir=str(tmp_path / "ck"), interval="300 milliseconds",
+    )
+    try:
+        def oracle(upto):
+            ref = LakeTable.create(str(tmp_path / f"ref{upto}"),
+                                   REPO_FILES_SCHEMA, ["repo", "path"], 8)
+            replay(spark, ref, event_stream, SPEC, MergeMode.DELTA,
+                   epochs=list(range(upto + 1)))
+            return _final_state(spark, ref)
+
+        def converged(want, timeout_s=60):
+            deadline = _t.monotonic() + timeout_s
+            while _t.monotonic() < deadline:
+                if _final_state(spark, t) == want:
+                    return True
+                _t.sleep(0.5)
+            return False
+
+        assert converged(oracle(0)), "initial epoch never merged"
+        # land two more epochs while the query is live
+        _sh.copytree(epochs[1], live_dir / epochs[1].name)
+        _sh.copytree(epochs[2], live_dir / epochs[2].name)
+        assert converged(oracle(2)), "late-landing epochs never merged"
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
 def test_stream_redrain_is_noop(spark, tmp_path, event_stream):
     events_schema = spark.read.parquet(event_stream).schema
     t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 8)
