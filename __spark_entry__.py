@@ -867,19 +867,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = q_ann_ivf_topk
 
     def q_corpus_dedup_survivors(spark, sf):
-        """The composed training-data pipeline (VERDICT r03 #3): exact
-        dedup → MinHash-LSH → exact-Jaccard edges → connected components
-        → canonical survivors COMMITTED THROUGH LakeTable, then read back
-        from the lake snapshot — so the row proves the whole chain
-        including the commit/read path. Output = surviving doc ids with a
-        content hash (per-row sha256 equality, the BASELINE.json
-        invariant)."""
-        from etlbox_spark.operators.textdedup import corpus_dedup_pipeline
+        """The composed training-data pipeline (VERDICT r03 #3) PLUS its
+        incremental regime: documents split 3:1 into a corpus and a "new
+        crawl" batch; the corpus runs the full exact → LSH → Jaccard →
+        components → lake-commit chain, an LSH signature index is
+        materialized from the surviving snapshot, and the batch is then
+        deduped INCREMENTALLY against corpus + peers (broadcast band
+        probe, pruned point reads of nominated corpus text — the corpus
+        is never re-shingled) with survivors appended through a second
+        exactly-once merge epoch. Output = the final lake snapshot:
+        (doc_id, content sha, phase base|incr) — so one row proves the
+        batch pipeline, the index build, the incremental probe, and both
+        commit/read paths."""
+        from etlbox_spark.operators.textdedup import (
+            corpus_dedup_pipeline,
+            dedup_incremental,
+            lsh_index_build,
+        )
 
         d = _t(spark, sf, "documents").select("doc_id", "text")
-        t, _ = corpus_dedup_pipeline(d, _scratch("corpus_dedup") + "/docs")
-        return t.read(spark).select(
-            "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+        root = _scratch("corpus_dedup")
+        corpus = d.where(F.col("doc_id") % 4 != 0)
+        batch = d.where(F.col("doc_id") % 4 == 0)
+        t, _ = corpus_dedup_pipeline(corpus, root + "/docs")
+        idx = lsh_index_build(t.read(spark, with_bucket=False), root + "/idx")
+        dedup_incremental(spark, t, idx, batch, commit_epoch=2)
+        return t.read(spark, with_bucket=False).select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("content_sha"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("incr"))
+            .otherwise(F.lit("base"))
+            .alias("phase"),
         )
 
     q["corpus_dedup_survivors"] = q_corpus_dedup_survivors
@@ -1388,24 +1406,32 @@ def oracle_sql() -> dict[str, str]:
     # row) → transitive closure → min-id canonical survivors. The Spark
     # side reads its answer back from the committed LakeTable snapshot,
     # so equality also certifies the lake write/read path.
+    # Incremental phase semantics (the anchored-component rule of
+    # dedup_incremental): a batch doc whose verified-edge component
+    # touches any base survivor is dropped; a corpus-free component keeps
+    # its minimum batch id. Exact-fingerprint equality implies identical
+    # normalized text, hence identical shingle sets and Jaccard = 1, so
+    # "fp-equal OR jaccard >= t" collapses to the jaccard predicate here.
     o["corpus_dedup_survivors"] = f"""
       WITH RECURSIVE norm AS (
         SELECT doc_id, {_NORM} AS nt, text FROM documents
       ),
-      ex AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY sha256(nt)),
-      s AS (SELECT n.doc_id, n.nt, n.text FROM norm n JOIN ex USING (doc_id)),
-      t AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM s),
-      d AS (
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM norm),
+      shl AS (
         SELECT doc_id, list_distinct(
           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                ELSE list_transform(generate_series(1, len(toks) - 2),
                                    i -> array_to_string(toks[i:i+2], ' '))
           END) AS sh
-        FROM t
+        FROM tk
       ),
+      corp AS (SELECT doc_id, nt, text FROM norm WHERE doc_id % 4 <> 0),
+      ex AS (SELECT min(doc_id) AS doc_id FROM corp GROUP BY sha256(nt)),
+      s AS (SELECT c.doc_id, c.text FROM corp c JOIN ex USING (doc_id)),
+      ssh AS (SELECT x.doc_id, x.sh FROM shl x JOIN s USING (doc_id)),
       ej AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
       ),
@@ -1424,10 +1450,51 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT s AS id FROM sym) n
         LEFT JOIN reach r ON r.s = n.id
         GROUP BY n.id
+      ),
+      base AS (
+        SELECT s.doc_id, s.text
+        FROM s LEFT JOIN comp c ON s.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.canonical = s.doc_id
+      ),
+      bat AS (SELECT doc_id FROM norm WHERE doc_id % 4 = 0),
+      bsh AS (SELECT x.doc_id, x.sh FROM shl x JOIN bat USING (doc_id)),
+      csh AS (SELECT x.doc_id, x.sh FROM shl x JOIN base USING (doc_id)),
+      bbe AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bsh a JOIN bsh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      ),
+      bsym AS (
+        SELECT id_a AS s, id_b AS dd FROM bbe
+        UNION
+        SELECT id_b AS s, id_a AS dd FROM bbe
+      ),
+      breach(s, dd) AS (
+        SELECT s, dd FROM bsym
+        UNION
+        SELECT r.s, y.dd FROM breach r JOIN bsym y ON r.dd = y.s
+      ),
+      blab AS (
+        SELECT b.doc_id, least(b.doc_id, coalesce(min(r.dd), b.doc_id)) AS lab
+        FROM bat b LEFT JOIN breach r ON r.s = b.doc_id
+        GROUP BY b.doc_id
+      ),
+      linked AS (
+        SELECT DISTINCT a.doc_id
+        FROM bsh a CROSS JOIN csh c
+        WHERE len(list_intersect(a.sh, c.sh))::DOUBLE
+              / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))) >= 0.8
+      ),
+      tainted AS (SELECT DISTINCT l.lab FROM blab l JOIN linked k USING (doc_id)),
+      incr AS (
+        SELECT l.doc_id FROM blab l
+        WHERE l.lab = l.doc_id AND l.lab NOT IN (SELECT lab FROM tainted)
       )
-      SELECT s.doc_id, sha256(s.text) AS content_sha
-      FROM s LEFT JOIN comp c ON s.doc_id = c.doc_id
-      WHERE c.doc_id IS NULL OR c.canonical = s.doc_id
+      SELECT b.doc_id, sha256(b.text) AS content_sha, 'base' AS phase FROM base b
+      UNION ALL
+      SELECT n.doc_id, sha256(n.text) AS content_sha, 'incr' AS phase
+      FROM incr i JOIN norm n USING (doc_id)
     """
     # stub featurizer invariants: normalized 8-bin histogram over the
     # payload bytes sums to 1 (0 for empty payloads); byte_len checks the

@@ -1,6 +1,14 @@
 from .checkpoint import Checkpoint
 from .lake import BUCKET_COL, LakeTable, Manifest
-from .merge import ACTION_COL, MergeResult, apply_epoch, classify, dedupe_lww, evolve_schema
+from .merge import (
+    ACTION_COL,
+    MergeResult,
+    apply_epoch,
+    classify,
+    dedupe_lww,
+    evolve_schema,
+    read_changes,
+)
 from .runner import replay
 from .spec import ChangeAction, MergeMode, MergeSpec
 
@@ -18,5 +26,6 @@ __all__ = [
     "classify",
     "dedupe_lww",
     "evolve_schema",
+    "read_changes",
     "replay",
 ]

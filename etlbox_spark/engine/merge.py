@@ -45,10 +45,14 @@ ACTION_COL = "action"
 
 
 def _delta_paths(delta_dir: str, epoch_id: int) -> tuple[str, str]:
-    # the temp name starts with "_" so Spark's partition discovery over
-    # delta_dir never surfaces an in-flight epoch
+    # the temp name starts with "_" so Spark's listing skips an in-flight
+    # epoch — and it must NOT contain "=": Spark's path filter keeps
+    # underscore names that look like partition dirs (name.contains("=")),
+    # so "_inflight-epoch=N" would be parsed as a CONFLICTING partition
+    # column and break read_changes over the whole delta log (caught by
+    # test_read_changes_incremental_feed)
     return (
-        os.path.join(delta_dir, f"_inflight-epoch={epoch_id}"),
+        os.path.join(delta_dir, f"_inflight-epoch-{epoch_id}"),
         os.path.join(delta_dir, f"epoch={epoch_id}"),
     )
 
@@ -65,6 +69,35 @@ def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
         return
     if os.path.exists(tmp):
         os.replace(tmp, final)
+
+
+def read_changes(
+    spark: SparkSession,
+    delta_dir: str,
+    from_epoch: int | None = None,
+    to_epoch: int | None = None,
+) -> DataFrame:
+    """CDC-out: the committed change feed of a merge-applied table.
+
+    Every ``apply_epoch`` writes its classified actions (keys + final
+    payload + insert/update/delete/exists + seq) under
+    ``{delta_dir}/epoch=N`` — and the rename protocol guarantees a
+    visible ``epoch=N`` directory IMPLIES the epoch committed (in-flight
+    attempts live under an underscore-prefixed name Spark's partition
+    discovery ignores). That makes the delta log itself an exactly-once
+    incremental change stream: a downstream consumer checkpoints the
+    last epoch it processed and reads ``read_changes(from_epoch=last+1)``
+    — the same pattern Iceberg calls an incremental scan and Delta calls
+    CDF. Epoch bounds prune at the partition level, so consuming the
+    tail of a long-lived table never lists, opens, or filters old
+    epochs' files.
+    """
+    df = spark.read.parquet(delta_dir)
+    if from_epoch is not None:
+        df = df.where(F.col("epoch") >= F.lit(int(from_epoch)))
+    if to_epoch is not None:
+        df = df.where(F.col("epoch") <= F.lit(int(to_epoch)))
+    return df
 
 
 @dataclass

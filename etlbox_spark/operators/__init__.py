@@ -1,6 +1,6 @@
 from .aggregate import aggregation, block_transformation, distinct, sort
 from .branch import conditional_split, multicast
-from .dedupe import dedupe_lww, exact_dedup, top_k_per_group
+from .dedupe import dedupe_lww, exact_dedup, top_k_per_group, top_k_per_group_segmented
 from .errors import cast_or_route, route_errors
 from .joins import cross_join, lookup, merge_join, merge_join_positional
 from .rows import column_rename, row_duplication, row_multiplication, row_transformation
@@ -30,4 +30,5 @@ __all__ = [
     "row_transformation",
     "sort",
     "top_k_per_group",
+    "top_k_per_group_segmented",
 ]

@@ -59,9 +59,47 @@ def top_k_per_group(
     rank_col: str = "rk",
 ) -> DataFrame:
     """Top-K per group via row_number window. Order columns must make the
-    ranking deterministic (include a unique tiebreaker)."""
+    ranking deterministic (include a unique tiebreaker).
+
+    Scale bound: one group = one window task (AQE cannot split a
+    window). For zipf-hot groups use ``top_k_per_group_segmented`` —
+    top-k is associative, so the skew fix is exact, unlike general
+    ranked windows."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+
+def top_k_per_group_segmented(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+    segments: int = 32,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Hot-key-safe top-K: local top-k per (group, segment), then global
+    top-k over the ≤ segments·k survivors per group.
+
+    Top-k is associative — the global answer is contained in the union
+    of per-segment answers — so this is RESULT-IDENTICAL to
+    ``top_k_per_group`` whenever ``order_cols`` is a total order per
+    group (the same tiebreaker requirement the plain variant already
+    has). The hot key's serial window shrinks from its row count to
+    segments·k rows; the first pass runs at (group × segment)
+    parallelism. Segmentation is deterministic (xxhash64 of the row's
+    columns by default — no rand(), replay-stable); pass ``salt_col``
+    to segment by an existing column expression instead.
+    """
+    seg = salt_col if salt_col is not None else F.xxhash64(*[F.col(c) for c in df.columns])
+    local = df.withColumn("__seg", F.pmod(seg, F.lit(segments)))
+    w_local = Window.partitionBy(*group_cols, "__seg").orderBy(*order_cols)
+    survivors = (
+        local.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= k)
+        .drop("__seg", "__lrk")
+    )
+    return top_k_per_group(survivors, group_cols, order_cols, k, rank_col)

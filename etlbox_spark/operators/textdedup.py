@@ -319,6 +319,237 @@ def corpus_dedup_pipeline(
     return t, final
 
 
+FP_BAND = -1  # band id reserved for the exact-fingerprint hash row
+
+
+def lsh_band_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded probe rows for a document set: one ``(id, band, bhash)``
+    row per MinHash band plus one ``band = FP_BAND`` row carrying
+    ``xxhash64`` of the exact sha256 content fingerprint.
+
+    This is the unit the incremental index stores and the unit a new
+    batch probes with — band rows collide for near-dups (LSH), the
+    FP_BAND row collides for exact dups, and both are verified exactly
+    downstream (the hash is only ever a candidate filter).
+    """
+    rows = n_perm // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_ngrams(F.col(text_col), ngram), n_perm, seed).alias("sig"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("__fp"),
+    )
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias(
+                "bhash"
+            ),
+        )
+        for b in range(bands)
+    ] + [F.struct(F.lit(FP_BAND).alias("band"), F.xxhash64("__fp").alias("bhash"))]
+    return sig.select("id", F.explode(F.array(*entries)).alias("bb")).select(
+        "id", "bb.band", "bb.bhash"
+    )
+
+
+def lsh_index_build(
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+    n_buckets: int = 16,
+    epoch_id: int = 1,
+):
+    """Materialize the LSH signature index of an (already deduped)
+    corpus as a LakeTable keyed ``(id, band)``.
+
+    The index is what makes dedup INCREMENTAL at 100 TB: tonight's crawl
+    probes ~17 longs/doc of index instead of re-shingling the corpus
+    text, and index maintenance is an ordinary exactly-once merge epoch
+    (``dedup_incremental(commit_epoch=...)``) — the same idempotent
+    commit path as every CDC table.
+    """
+    from ..engine.lake import LakeTable
+    from ..functions.hashing import bucket_expr
+
+    rows_df = lsh_band_rows(docs, id_col, text_col, n_perm, bands, ngram, seed)
+    t = LakeTable.create(root, schema=rows_df.schema, key_cols=["id", "band"], n_buckets=n_buckets)
+    t.overwrite(rows_df.withColumn("bucket", bucket_expr(n_buckets, "id", "band")), epoch_id)
+    return t
+
+
+def incremental_candidates(
+    spark,
+    index,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate nomination for ``dedup_incremental``: returns
+    ``(batch×corpus, batch×batch)`` candidate-pair frames.
+
+    The batch's band rows are BROADCAST against the index scan, so the
+    corpus-side index (the big side at 100 TB) is never shuffled — the
+    probe is one broadcast hash join over ~17 stored longs per corpus
+    doc. Exposed separately so the plan is auditable (PLANS.md) and
+    testable on its own.
+    """
+    b_rows = lsh_band_rows(batch, id_col, text_col, n_perm, bands, ngram, seed)
+    idx = index.read(spark, with_bucket=False)
+    cand_bc = (
+        idx.join(
+            F.broadcast(b_rows.withColumnRenamed("id", "batch_id")),
+            on=["band", "bhash"],
+        )
+        .select(F.col("id").alias("corpus_id"), "batch_id")
+        .distinct()
+    )
+    ba = b_rows.select(F.col("id").alias("id_a"), "band", "bhash")
+    bb = b_rows.select(F.col("id").alias("id_b"), "band", "bhash")
+    cand_bb = (
+        ba.join(bb, on=["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return cand_bc, cand_bb
+
+
+def dedup_incremental(
+    spark,
+    corpus,
+    index,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.8,
+    commit_epoch: int | None = None,
+) -> DataFrame:
+    """Dedupe a NEW batch against an already-deduped corpus without
+    re-reading the corpus text or recomputing its signatures — the
+    nightly-crawl shape of the training-data pipeline.
+
+    ``corpus``: LakeTable of surviving documents (key ``[id_col]``);
+    ``index``: LakeTable from ``lsh_index_build`` over the same corpus
+    snapshot. Ids must be non-negative (corpus anchors are encoded as
+    negative labels internally).
+
+    Semantics (deterministic, oracle-checked in the contract):
+
+    * candidate pairs — batch×corpus and batch×batch rows agreeing on any
+      ``(band, bhash)`` (MinHash bands) or on the FP_BAND fingerprint row;
+    * every candidate is verified EXACTLY (sha256 fingerprint equality or
+      word-n-gram Jaccard ≥ threshold) — the hashes only nominate;
+    * a batch doc whose connected component (over verified edges) touches
+      the corpus is dropped — corpus survivors are immutable anchors;
+    * a corpus-free component keeps its minimum-id batch doc.
+
+    Scale shape: the batch's band rows are BROADCAST against the index
+    scan (no shuffle of the index, which is ~17 longs per corpus doc);
+    corpus text is fetched only for nominated candidate ids through
+    ``LakeTable.lookup_keys`` (bucket + file-stat pruned point reads).
+    The candidate-id set is collected driver-side — bounded by
+    |batch| × collision rate, the defining property of the incremental
+    regime (batch ≪ corpus).
+
+    With ``commit_epoch`` set, survivors are appended to ``corpus`` and
+    their band rows to ``index`` via ``apply_epoch`` (exactly-once per
+    epoch id; a crashed run re-commits idempotently).
+
+    Returns the batch-survivor DataFrame.
+    """
+    cand_bc, cand_bb = incremental_candidates(
+        spark, index, batch, id_col, text_col, n_perm, bands, ngram, seed
+    )
+
+    def with_text(df: DataFrame, idc: str, out: str, src: DataFrame) -> DataFrame:
+        side = src.select(F.col(id_col).alias(idc), F.col(text_col).alias(out))
+        return df.join(side, on=idc)
+
+    def verified(df: DataFrame, ta: str, tb: str) -> Column:
+        fp_eq = F.sha2(normalize_text(F.col(ta)), 256) == F.sha2(normalize_text(F.col(tb)), 256)
+        sa = F.array_distinct(word_ngrams(F.col(ta), ngram))
+        sb = F.array_distinct(word_ngrams(F.col(tb), ngram))
+        jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb)).cast("double")
+        return fp_eq | (jac >= F.lit(jaccard_threshold))
+
+    # corpus text only for nominated ids: pruned point reads, and the id
+    # list is bounded driver metadata (see docstring)
+    cids = [r[0] for r in cand_bc.select("corpus_id").distinct().collect()]
+    edges = cand_bb
+    edges = with_text(edges, "id_a", "__ta", batch)
+    edges = with_text(edges.withColumnRenamed("id_b", "__idb"), "__idb", "__tb", batch)
+    edges_bb = (
+        edges.where(verified(edges, "__ta", "__tb"))
+        .select("id_a", F.col("__idb").alias("id_b"))
+    )
+    if cids:
+        ctext = corpus.lookup_keys(spark, [(int(i),) for i in cids]).select(
+            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc")
+        )
+        e = with_text(cand_bc, "batch_id", "__ta", batch).join(ctext, on="corpus_id")
+        # corpus anchors enter the component graph as negative labels so
+        # min-label propagation can never elect a batch doc over them
+        edges_bc = e.where(verified(e, "__ta", "__tc")).select(
+            F.col("batch_id").alias("id_a"),
+            (-F.col("corpus_id") - 1).alias("id_b"),
+        )
+        all_edges = edges_bb.unionByName(edges_bc)
+    else:
+        all_edges = edges_bb
+
+    if all_edges.isEmpty():
+        survivors = batch
+    else:
+        comp = connected_components(all_edges)
+        losers = comp.where((F.col("component") < 0) | (F.col("id") != F.col("component"))).select(
+            F.col("id").alias(id_col)
+        )
+        survivors = batch.join(losers, on=id_col, how="left_anti")
+
+    if commit_epoch is not None:
+        from ..engine.merge import apply_epoch
+        from ..engine.spec import MergeMode, MergeSpec
+
+        doc_spec = MergeSpec(
+            key_cols=(id_col,), seq_col="__seq", compare_cols=(text_col,), op_col="__op"
+        )
+        ev = survivors.withColumn("__seq", F.lit(commit_epoch).cast("long")).withColumn(
+            "__op", F.lit("upsert")
+        )
+        apply_epoch(spark, corpus, ev, doc_spec, MergeMode.DELTA, commit_epoch)
+        idx_spec = MergeSpec(
+            key_cols=("id", "band"), seq_col="__seq", compare_cols=("bhash",), op_col="__op"
+        )
+        iev = (
+            lsh_band_rows(survivors, id_col, text_col, n_perm, bands, ngram, seed)
+            .withColumn("__seq", F.lit(commit_epoch).cast("long"))
+            .withColumn("__op", F.lit("upsert"))
+        )
+        apply_epoch(spark, index, iev, idx_spec, MergeMode.DELTA, commit_epoch)
+    return survivors
+
+
 def simhash64(col: Column, seed: int = 42) -> Column:
     """64-bit SimHash over whitespace tokens — pure xxhash64 expressions,
     whole-stage-codegen (VERDICT r01 replaced a per-token Python kernel).

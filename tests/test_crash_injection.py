@@ -98,7 +98,7 @@ def test_crash_after_delta_write_before_commit(spark, tmp_path, monkeypatch):
     import os
 
     assert not os.path.exists(str(tmp_path / "d" / "epoch=1"))
-    assert os.path.exists(str(tmp_path / "d" / "_inflight-epoch=1"))
+    assert os.path.exists(str(tmp_path / "d" / "_inflight-epoch-1"))
 
     # the retry overwrites the in-flight delta and commits —
     # byte-identical convergence, and the final name appears
@@ -114,7 +114,7 @@ def test_crash_after_delta_write_before_commit(spark, tmp_path, monkeypatch):
     d1 = spark.read.parquet(str(tmp_path / "d" / "epoch=1"))
     assert {r.action for r in d1.collect()} == {"update", "insert"}
     # the in-flight temp dir was renamed away, not copied
-    assert not os.path.exists(str(tmp_path / "d" / "_inflight-epoch=1"))
+    assert not os.path.exists(str(tmp_path / "d" / "_inflight-epoch-1"))
 
 
 def test_crash_between_commit_and_delta_rename_heals_on_retry(spark, tmp_path, monkeypatch):

@@ -218,3 +218,44 @@ def test_inserts_only_never_rewrites(spark, tmp_path):
     assert acts[("r0", "p2")] == "exists"
     assert acts[("r0", "p1")] == "exists"
     _sha_ok(spark, t, exp)
+
+
+def test_read_changes_incremental_feed(spark, tmp_path):
+    """CDC-out (read_changes): the delta log is an exactly-once
+    incremental change stream — epoch-bounded reads return exactly the
+    committed actions in range, prune to the requested epochs' files,
+    and never surface an in-flight attempt."""
+    import shutil
+
+    from etlbox_spark.engine.merge import read_changes
+
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    _apply(spark, t, [ev(10, "update", "p1", "Test1b"), ev(11, "delete", "p2"),
+                      ev(12, "insert", "p4", "Test4")], MergeMode.DELTA, 1, d)
+    _apply(spark, t, [ev(20, "update", "p4", "Test4b")], MergeMode.DELTA, 2, d)
+
+    # a consumer checkpointed at epoch 0 reads exactly epochs 1..2
+    feed = read_changes(spark, d, from_epoch=1)
+    got = {(r.path, int(r.epoch)): r.action for r in feed.collect()}
+    assert got == {("p1", 1): "update", ("p2", 1): "delete",
+                   ("p4", 1): "insert", ("p4", 2): "update"}
+    # the changed payload rides along (insert/update carry the new value)
+    val = {r.path: r.content for r in feed.where("epoch = 2").collect()}
+    assert val == {"p4": "Test4b"}
+
+    # epoch bounds prune at the partition level: the scan carries them as
+    # PartitionFilters (inputFiles() lists the relation pre-pruning, so
+    # the plan is the evidence), and the rows come back bounded
+    from etlbox_spark.plans import formatted_plan
+
+    one = read_changes(spark, d, from_epoch=1, to_epoch=1)
+    plan = formatted_plan(one)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "epoch" in pf[0] and ">= 1" in pf[0] and "<= 1" in pf[0], plan
+    assert {int(r.epoch) for r in one.collect()} == {1}
+
+    # an in-flight (crashed, uncommitted) attempt is invisible to the feed
+    shutil.copytree(f"{d}/epoch=2", f"{d}/_inflight-epoch-9")
+    assert {int(r.epoch) for r in read_changes(spark, d).collect()} == {0, 1, 2}

@@ -105,6 +105,96 @@ def test_corpus_dedup_pipeline_matches_python_oracle(spark, tmp_path):
     assert t.overwrite(final.limit(0), epoch_id=7) == m.version
 
 
+# ---------------------------------------------------- incremental dedup
+
+BATCH = [
+    # exact dup (same normalized text) of corpus survivor 0 → dropped
+    (100, "the quick brown fox JUMPS over the lazy dog today"),
+    # near-dup of corpus survivor 3 (last token changed, 12 tokens →
+    # 9/11 shingle jaccard ≈ 0.818) → dropped
+    (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda omega"),
+    # corpus-free near-dup pair: 102 survives, 103 drops
+    (102, "one two three four five six seven eight nine ten eleven twelve"),
+    (103, "one two three four five six seven eight nine ten eleven thirteen"),
+    # unique → survives
+    (104, "totally novel payload describing adaptive query execution internals"),
+    # exact dup of batch peer 102 → same component, drops
+    (106, "ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE TEN ELEVEN TWELVE"),
+]
+
+
+def _py_incr_oracle(
+    corpus_docs: list[tuple[int, str]], batch_docs: list[tuple[int, str]], thr: float = 0.8
+) -> set[int]:
+    """Independent replay of the anchored incremental rule: batch docs
+    whose verified-edge component touches any base survivor drop; a
+    corpus-free component keeps its minimum batch id."""
+    base = _py_oracle(corpus_docs, thr)
+    norm = {i: re.sub(r"\s+", " ", t.strip().lower()) for i, t in corpus_docs + batch_docs}
+
+    def shingles(s: str) -> set[str]:
+        toks = s.split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(norm[i]) for i in norm}
+
+    def edge(a: int, b: int) -> bool:
+        if norm[a] == norm[b]:
+            return True
+        return len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= thr
+
+    bids = sorted(i for i, _ in batch_docs)
+    parent = {i: i for i in bids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in bids:
+        for b in bids:
+            if a < b and edge(a, b):
+                ra, rb = find(a), find(b)
+                parent[max(ra, rb)] = min(ra, rb)
+    tainted = {find(b) for b in bids for c in base if edge(b, c)}
+    return {b for b in bids if find(b) == b and find(b) not in tainted}
+
+
+def test_dedup_incremental_matches_python_oracle(spark, tmp_path):
+    from etlbox_spark.operators.textdedup import dedup_incremental, lsh_index_build
+
+    corpus_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    t, _ = corpus_dedup_pipeline(corpus_df, str(tmp_path / "docs"), n_perm=64, bands=16)
+    idx = lsh_index_build(t.read(spark, with_bucket=False), str(tmp_path / "idx"))
+
+    batch_df = spark.createDataFrame(BATCH, "doc_id long, text string")
+    surv = dedup_incremental(spark, t, idx, batch_df, commit_epoch=2)
+    got = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert got == _py_incr_oracle(DOCS, BATCH)
+    assert got == {102, 104}  # fixture-design sanity
+
+    # lake state after the commit epoch: base survivors ∪ batch survivors,
+    # in BOTH the document table and the signature index
+    base_ids = {0, 3, 6, 7}
+    final_ids = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert final_ids == base_ids | got
+    idx_ids = {r["id"] for r in idx.read(spark).select("id").collect()}
+    assert idx_ids == base_ids | got
+    assert 2 in t.manifest().committed_epochs and 2 in idx.manifest().committed_epochs
+
+    # crash-retry convergence: replaying the SAME epoch against the
+    # already-updated corpus changes nothing (epoch markers make the
+    # commits no-ops; re-delivered docs now match themselves in the index
+    # and are dropped rather than duplicated)
+    v_before = (t.manifest().version, idx.manifest().version)
+    dedup_incremental(spark, t, idx, batch_df, commit_epoch=2)
+    assert {r["doc_id"] for r in t.read(spark).select("doc_id").collect()} == final_ids
+    assert (t.manifest().version, idx.manifest().version) == v_before
+
+
 def test_corpus_dedup_pipeline_on_fixture_docs(spark, tmp_path):
     """Fixture-scale smoke on the real documents table: survivor count =
     total - (exact dups) - (near-dup non-canonical members), and the

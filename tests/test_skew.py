@@ -106,3 +106,22 @@ def test_salt_spreads_hot_key_and_is_deterministic(spark):
     a = sorted(r[0] for r in s1.select(SALT_COL).limit(200).collect())
     b = sorted(r[0] for r in with_salt(df, "event_seq", 16).select(SALT_COL).limit(200).collect())
     assert a == b  # no rand(): same input -> same salts, replay-safe
+
+
+def test_segmented_top_k_matches_plain(spark):
+    """top-k is associative, so the segmented (hot-key-parallel) variant
+    must be row-identical to the plain window — including groups smaller
+    than k, exact-k groups, and the 90%-hot key."""
+    from etlbox_spark.operators.dedupe import top_k_per_group, top_k_per_group_segmented
+
+    df = _skewed(spark, n=20_000)
+    order = [F.col("value").desc(), F.col("event_seq").asc()]  # total order
+    plain = top_k_per_group(df, ["repo"], order, k=7)
+    seg = top_k_per_group_segmented(df, ["repo"], order, k=7, segments=16)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, seg.collect()))
+    assert a == b
+    # determinism across runs (the salt is xxhash64, not rand())
+    c = sorted(map(tuple, top_k_per_group_segmented(df, ["repo"], order, k=7,
+                                                    segments=16).collect()))
+    assert b == c

@@ -71,12 +71,49 @@ def bench_as_of_hot_key(spark, cpus: int, n: int) -> None:
         print(f"  -> speedup vs plain: {base / dt:.2f}x", flush=True)
 
 
+def bench_top_k_hot_key(spark, cpus: int, n: int) -> None:
+    """Same hot-key shape for top-k: the plain row_number window
+    serializes the hot group into one task; the segmented variant is
+    result-identical (top-k is associative) and bounded by segments·k
+    rows in the final per-group window."""
+    from etlbox_spark.operators.dedupe import top_k_per_group, top_k_per_group_segmented
+
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("repo_hot"))
+            .otherwise(F.concat(F.lit("repo_"), (F.col("id") % 256).cast("string")))
+            .alias("repo"),
+            F.col("id").alias("event_seq"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()
+    order = [F.col("value").desc(), F.col("event_seq").asc()]
+
+    def run(tag: str, fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"top-k hot-key {tag}: {dt:.1f}s ({n / dt:,.0f} rows/s)", flush=True)
+        return dt
+
+    base = run("plain (per-group window)",
+               lambda: top_k_per_group(df, ["repo"], order, k=100))
+    for segs in (8, 32, 128):
+        dt = run(f"segmented segs={segs}",
+                 lambda segs=segs: top_k_per_group_segmented(
+                     df, ["repo"], order, k=100, segments=segs))
+        print(f"  -> speedup vs plain: {base / dt:.2f}x", flush=True)
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     spark = get_spark("bench_skew", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     bench_as_of_hot_key(spark, cpus, int(os.environ.get("SPARK_GRAFT_ASOF_N", str(n))))
+    bench_top_k_hot_key(spark, cpus, int(os.environ.get("SPARK_GRAFT_TOPK_N", str(n))))
     for skew in (1.5, 4.0):
         work = tempfile.mkdtemp(prefix=f"skew{skew}_", dir=SCRATCH)
         try:
