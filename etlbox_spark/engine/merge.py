@@ -71,6 +71,24 @@ def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
         os.replace(tmp, final)
 
 
+def _merge_change_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Fold two epoch schemas: later epochs may ADD columns or WIDEN
+    numeric types (the only evolutions ``evolve_schema`` permits)."""
+    out = list(a.fields)
+    names = [f.name for f in out]
+    for f in b.fields:
+        if f.name not in names:
+            out.append(T.StructField(f.name, f.dataType, True))
+            names.append(f.name)
+        else:
+            i = names.index(f.name)
+            ra = _WIDEN_RANK.get(out[i].dataType.typeName())
+            rb = _WIDEN_RANK.get(f.dataType.typeName())
+            if ra is not None and rb is not None and rb > ra:
+                out[i] = T.StructField(f.name, f.dataType, True)
+    return T.StructType(out)
+
+
 def read_changes(
     spark: SparkSession,
     delta_dir: str,
@@ -83,21 +101,59 @@ def read_changes(
     payload + insert/update/delete/exists + seq) under
     ``{delta_dir}/epoch=N`` — and the rename protocol guarantees a
     visible ``epoch=N`` directory IMPLIES the epoch committed (in-flight
-    attempts live under an underscore-prefixed name Spark's partition
-    discovery ignores). That makes the delta log itself an exactly-once
-    incremental change stream: a downstream consumer checkpoints the
-    last epoch it processed and reads ``read_changes(from_epoch=last+1)``
-    — the same pattern Iceberg calls an incremental scan and Delta calls
-    CDF. Epoch bounds prune at the partition level, so consuming the
-    tail of a long-lived table never lists, opens, or filters old
-    epochs' files.
+    attempts live under an underscore-prefixed name the listing skips).
+    That makes the delta log itself an exactly-once incremental change
+    stream: a downstream consumer checkpoints the last epoch it
+    processed and reads ``read_changes(from_epoch=last+1)`` — the same
+    pattern Iceberg calls an incremental scan and Delta calls CDF.
+
+    Epoch bounds prune driver-side: only the selected epochs' dirs are
+    ever handed to the reader, so tailing a long-lived table never
+    lists, opens, or filters old epochs' files.
+
+    Schema evolution: epochs before a column-add lack the new columns,
+    and a widen changes parquet physical types mid-stream — Spark's
+    ``mergeSchema`` refuses to reconcile int→long, so epochs are grouped
+    into schema generations (one footer probe per epoch, bounded driver
+    metadata) and each generation is aligned to the folded
+    add-and-widen schema via ``align_to_schema`` (typed nulls for
+    missing columns, upcasts for widened ones) before the union.
+
+    Raises ``FileNotFoundError`` when no committed epoch is in range.
     """
-    df = spark.read.parquet(delta_dir)
+    eps = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(delta_dir)
+        if n.startswith("epoch=")
+    )
     if from_epoch is not None:
-        df = df.where(F.col("epoch") >= F.lit(int(from_epoch)))
+        eps = [e for e in eps if e >= int(from_epoch)]
     if to_epoch is not None:
-        df = df.where(F.col("epoch") <= F.lit(int(to_epoch)))
-    return df
+        eps = [e for e in eps if e <= int(to_epoch)]
+    if not eps:
+        raise FileNotFoundError(f"no committed epochs in range under {delta_dir}")
+
+    groups: list[tuple[T.StructType, list[int]]] = []
+    for e in eps:
+        sch = spark.read.parquet(os.path.join(delta_dir, f"epoch={e}")).schema
+        if groups and groups[-1][0] == sch:
+            groups[-1][1].append(e)
+        else:
+            groups.append((sch, [e]))
+    merged = groups[0][0]
+    for sch, _ in groups[1:]:
+        merged = _merge_change_schemas(merged, sch)
+
+    parts = []
+    for _, es in groups:
+        df = spark.read.option("basePath", delta_dir).parquet(
+            *[os.path.join(delta_dir, f"epoch={e}") for e in es]
+        )
+        parts.append(align_to_schema(df, merged, ("epoch",)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @dataclass

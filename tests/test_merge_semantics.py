@@ -245,15 +245,10 @@ def test_read_changes_incremental_feed(spark, tmp_path):
     val = {r.path: r.content for r in feed.where("epoch = 2").collect()}
     assert val == {"p4": "Test4b"}
 
-    # epoch bounds prune at the partition level: the scan carries them as
-    # PartitionFilters (inputFiles() lists the relation pre-pruning, so
-    # the plan is the evidence), and the rows come back bounded
-    from etlbox_spark.plans import formatted_plan
-
+    # epoch bounds prune driver-side: only the selected epochs' dirs are
+    # handed to the reader, so the relation's file list IS the evidence
     one = read_changes(spark, d, from_epoch=1, to_epoch=1)
-    plan = formatted_plan(one)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and "epoch" in pf[0] and ">= 1" in pf[0] and "<= 1" in pf[0], plan
+    assert one.inputFiles() and all("epoch=1" in f for f in one.inputFiles())
     assert {int(r.epoch) for r in one.collect()} == {1}
 
     # an in-flight (crashed, uncommitted) attempt is invisible to the feed

@@ -145,3 +145,43 @@ def test_numeric_key_at_mismatched_width_keeps_bucket(spark, tmp_path):
     assert res.counts == {"update": 1}
     # key column type is NOT widened (bucket layout pinned to table type)
     assert t.manifest().schema()["user_id"].dataType == T.IntegerType()
+
+
+def test_read_changes_spans_schema_evolution(spark, tmp_path):
+    """The change feed must survive a mid-stream column add + widen:
+    Spark's mergeSchema refuses int->long across files, so read_changes
+    groups epochs into schema generations and aligns them (typed nulls
+    for pre-evolution epochs, upcasts for widened columns)."""
+    from etlbox_spark.engine.merge import read_changes
+
+    t = LakeTable.create(str(tmp_path / "t"), BASE_SCHEMA, ["repo", "path"], 4)
+    d = str(tmp_path / "delta")
+    e0 = spark.createDataFrame(
+        [(1, "insert", "r0", "a.py", "v1", 3)], _events_schema()
+    )
+    apply_epoch(spark, t, e0, SPEC, MergeMode.DELTA, 0, delta_dir=d)
+    e1 = spark.createDataFrame(
+        [(3, "update", "r0", "a.py", "v2", 2**40, 123)],
+        _events_schema(extra=[T.StructField("size_bytes", T.LongType(), True)],
+                       stars_type=T.LongType()),
+    )
+    apply_epoch(spark, t, e1, SPEC, MergeMode.DELTA, 1, delta_dir=d)
+
+    feed = read_changes(spark, d)
+    by = {f.name: f.dataType for f in feed.schema.fields}
+    assert by["stars"] == T.LongType()  # widened across the whole feed
+    assert by["size_bytes"] == T.LongType()  # added column visible everywhere
+    rows = {int(r.epoch): r for r in feed.collect()}
+    assert rows[0].action == "insert" and rows[0].stars == 3
+    assert rows[0].size_bytes is None  # pre-evolution epoch: typed null
+    assert rows[1].action == "update" and rows[1].stars == 2**40
+    assert rows[1].size_bytes == 123
+
+    # bounded range that selects only the pre-evolution generation still
+    # reports that generation's own schema without error
+    old = read_changes(spark, d, to_epoch=0)
+    assert {int(r.epoch) for r in old.collect()} == {0}
+
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        read_changes(spark, d, from_epoch=99)
