@@ -104,3 +104,42 @@ def tail_processing_time(
     if stream_checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", stream_checkpoint_dir)
     return writer.start()
+
+
+def stream_changes(
+    spark: SparkSession,
+    delta_dir: str,
+    change_schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming CDC-out: a ``readStream`` over the committed delta log,
+    so a downstream consumer processes change epochs continuously (the
+    streaming face of ``engine.merge.read_changes``).
+
+    The file source's partition discovery recurses into ``epoch=N`` dirs
+    (``epoch`` rides along as a column — it is appended to
+    ``change_schema`` automatically) and picks up NEW epoch dirs as the
+    tail commits them; in-flight attempts live under
+    ``_inflight-epoch-N`` names the listing skips, so only committed
+    epochs ever reach the consumer. Exactly-once remains the consumer's
+    checkpoint responsibility (epoch id + Spark source offsets), exactly
+    like the ingest side.
+
+    ``change_schema`` is the change-row schema of the CURRENT table
+    generation (keys + payload + bucket + seq + action). Column ADDS
+    evolve cleanly (pre-evolution epochs surface typed nulls); a numeric
+    WIDEN mid-range is a parquet physical-type change the fixed-schema
+    streaming source cannot align — consume the historical range with
+    ``read_changes`` (which re-aligns generations) and start the stream
+    from the first post-widen epoch.
+
+    Returns the streaming DataFrame; the caller attaches its sink and
+    trigger.
+    """
+    full = T.StructType(
+        list(change_schema.fields) + [T.StructField("epoch", T.IntegerType(), True)]
+    )
+    reader = spark.readStream.schema(full)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(delta_dir)

@@ -117,3 +117,51 @@ def test_stream_redrain_is_noop(spark, tmp_path, event_stream):
     tail_available_now(*args, stream_checkpoint_dir=str(tmp_path / "ck2"))
     assert _final_state(spark, t) == state1
     assert t.manifest().committed_epochs == sorted(set(t.manifest().committed_epochs))
+
+
+def test_stream_changes_feed(spark, tmp_path, event_stream):
+    """Streaming CDC-out: a consumer drains the committed delta log via
+    stream_changes, matches the batch read_changes result, and a second
+    drain with the same source checkpoint delivers ONLY newly committed
+    epochs (incremental consumption)."""
+    from etlbox_spark.engine.merge import read_changes
+    from etlbox_spark.streaming.tail import stream_changes
+
+    events_schema = spark.read.parquet(event_stream).schema
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 8)
+    d = str(tmp_path / "delta")
+    replay(spark, t, event_stream, SPEC, MergeMode.DELTA,
+           checkpoint=Checkpoint(str(tmp_path / "c.json")), epochs=[0, 1],
+           delta_dir=d)
+
+    change_schema = spark.read.parquet(f"{d}/epoch=0").schema
+
+    def drain():
+        # foreachBatch collector: the memory sink cannot recover from a
+        # checkpoint, and checkpointed incremental consumption is the
+        # point of this test
+        rows = []
+        q = (
+            stream_changes(spark, d, change_schema)
+            .writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return rows
+
+    got = drain()
+    want = read_changes(spark, d)
+    g = sorted([r["epoch"], r["repo"], r["path"], r["action"], r["content"]]
+               for r in got)
+    w = sorted([r["epoch"], r["repo"], r["path"], r["action"], r["content"]]
+               for r in want.collect())
+    assert g == w and len(g) > 0
+
+    # commit one more epoch, drain again with the SAME checkpoint: only
+    # epoch 2's rows arrive (source offsets skip consumed files)
+    replay(spark, t, event_stream, SPEC, MergeMode.DELTA,
+           checkpoint=Checkpoint(str(tmp_path / "c.json")), delta_dir=d)
+    inc = drain()
+    assert {int(r["epoch"]) for r in inc} == {2}
+    assert len(inc) == read_changes(spark, d, from_epoch=2).count()
