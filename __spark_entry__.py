@@ -716,7 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data ops: text
     def q_dedup_exact(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         return exact_dedup(d, "text", "doc_id", normalize=normalize_text(F.col("text")))
 
     q["dedup_exact"] = q_dedup_exact
@@ -769,7 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is inherent to LSH — recall-vs-parameter tests live in
         tests/test_textops.py; at 100 TB, b and r trade candidate volume
         against recall and stay caller-tunable."""
-        d = _t(spark, sf, "documents")
+        # the fixture corpus is ONE parquet file → one input partition;
+        # repartition so the O(rows·perms) signature pass uses the box
+        # (at corpus scale the input's own partitioning supplies this —
+        # see minhash_lsh_candidates' parallelism note)
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=64, bands=16)
         return (
             ngram_jaccard(cand, d, "doc_id", "text")
@@ -780,6 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
 
     def q_dedup_simhash(spark, sf):
+        # NOT repartitioned like its minhash sibling: measured 0.9 s as a
+        # single Arrow batch vs 16.8 s at 32 partitions — simhash's
+        # pandas_udf pays per-batch Python/Arrow overhead that dwarfs its
+        # numpy kernel on this corpus size
         d = _t(spark, sf, "documents")
         cand = simhash_near_dups(d, "doc_id", "text", bands=8)
         return (
@@ -796,7 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (doc_id, canonical_id = component minimum)."""
         from etlbox_spark.operators.textdedup import connected_components
 
-        d = _t(spark, sf, "documents")
+        d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
         cand = minhash_lsh_candidates(d, "doc_id", "text", n_perm=16, bands=4)
         edges = ngram_jaccard(cand, d, "doc_id", "text").where(F.col("jaccard") >= 0.8)
         return connected_components(edges).select(
@@ -885,12 +893,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lsh_index_build,
         )
 
+        par = spark.sparkContext.defaultParallelism
         d = _t(spark, sf, "documents").select("doc_id", "text")
         root = _scratch("corpus_dedup")
         corpus = d.where(F.col("doc_id") % 4 != 0)
         batch = d.where(F.col("doc_id") % 4 == 0)
-        t, _ = corpus_dedup_pipeline(corpus, root + "/docs")
-        idx = lsh_index_build(t.read(spark, with_bucket=False), root + "/idx")
+        t, _ = corpus_dedup_pipeline(corpus, root + "/docs", parallelism=par)
+        idx = lsh_index_build(t.read(spark, with_bucket=False), root + "/idx", parallelism=par)
         dedup_incremental(spark, t, idx, batch, commit_epoch=2)
         return t.read(spark, with_bucket=False).select(
             "doc_id",

@@ -87,14 +87,30 @@ def minhash_lsh_candidates(
     bands: int = 8,
     ngram: int = 3,
     seed: int = 42,
+    with_est: bool = False,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     signature → split into ``bands`` bands of n_perm/bands rows → hash
     each band → self-join on (band_idx, band_hash). Returns distinct
-    (id_a < id_b) candidate pairs with their estimated jaccard
-    (signature agreement fraction).
+    (id_a < id_b) candidate pairs; with ``with_est`` also their
+    estimated jaccard (signature agreement fraction). Estimation is
+    OPT-IN because every current consumer verifies candidates with
+    EXACT n-gram Jaccard anyway — computing the estimate re-joins both
+    n_perm-long signatures per pair and folds them, pure overhead when
+    an exact verify follows.
+
+    ``parallelism``: signature compute parallelism follows the INPUT
+    partitioning (correct at corpus scale, where thousands of files
+    feed thousands of tasks). A small corpus in few files — e.g. one
+    parquet row group — serializes the whole O(rows·perms) signature
+    pass into one task; set ``parallelism`` (≈ total cores) to
+    repartition first. At 100 TB leave unset: a full-corpus shuffle
+    just to rebalance signatures would dwarf the compute.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     rows = n_perm // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -131,6 +147,8 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+    if not with_est:
+        return cand
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = (
@@ -265,6 +283,7 @@ def corpus_dedup_pipeline(
     jaccard_threshold: float = 0.8,
     n_buckets: int = 16,
     epoch_id: int = 1,
+    parallelism: int | None = None,
 ):
     """THE training-data use case, composed end-to-end (VERDICT r03 #3):
 
@@ -288,6 +307,11 @@ def corpus_dedup_pipeline(
     """
     from ..engine.lake import LakeTable
     from ..functions.hashing import bucket_expr
+
+    # a small corpus in few files serializes the shingle/signature passes
+    # into few tasks — see minhash_lsh_candidates' parallelism note
+    if parallelism:
+        docs = docs.repartition(parallelism)
 
     # 1. exact dedup: min-id survivor per normalized-content fingerprint
     ex = (
@@ -371,6 +395,7 @@ def lsh_index_build(
     seed: int = 42,
     n_buckets: int = 16,
     epoch_id: int = 1,
+    parallelism: int | None = None,
 ):
     """Materialize the LSH signature index of an (already deduped)
     corpus as a LakeTable keyed ``(id, band)``.
@@ -384,6 +409,8 @@ def lsh_index_build(
     from ..engine.lake import LakeTable
     from ..functions.hashing import bucket_expr
 
+    if parallelism:
+        docs = docs.repartition(parallelism)
     rows_df = lsh_band_rows(docs, id_col, text_col, n_perm, bands, ngram, seed)
     t = LakeTable.create(root, schema=rows_df.schema, key_cols=["id", "band"], n_buckets=n_buckets)
     t.overwrite(rows_df.withColumn("bucket", bucket_expr(n_buckets, "id", "band")), epoch_id)

@@ -34,8 +34,14 @@ def test_collect_only_in_sanctioned_places():
     usage for review. joins.py: global_positions collects ≤ one row per
     partition (the zipWithIndex offset table). lake.py: lookup_keys
     collects one (hash, bucket) row per PROBE key — caller-bounded
-    metadata, never table rows."""
-    allowed = {"merge.py", "similarity.py", "joins.py", "lake.py", "__init__.py"}
+    metadata, never table rows. textdedup.py: dedup_incremental collects
+    the nominated candidate CORPUS IDS (bounded by |batch| × collision
+    rate — the defining property of the incremental regime) to drive the
+    pruned lookup_keys point read."""
+    allowed = {
+        "merge.py", "similarity.py", "joins.py", "lake.py", "__init__.py",
+        "textdedup.py",
+    }
     offenders = []
     for py in PKG.rglob("*.py"):
         if py.name in allowed:

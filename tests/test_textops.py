@@ -162,3 +162,14 @@ def test_kmeans_ivf_recall_at_k(spark):
     # determinism: identical floats on a re-run (partition-order-proof
     # by the exact quantized-integer mean construction)
     assert kmeans_centroids(emb, "embedding", 8, iters=2) == trained
+
+
+def test_minhash_lsh_est_optional(spark, near_dup_docs):
+    """est_jaccard is opt-in (every pipeline consumer verifies exactly);
+    the estimate path still works when asked for."""
+    est = minhash_lsh_candidates(
+        near_dup_docs, "doc_id", "text", n_perm=16, bands=8, with_est=True
+    )
+    assert "est_jaccard" in est.columns
+    r = {(x.id_a, x.id_b): x.est_jaccard for x in est.collect()}
+    assert r[(1, 2)] > 0.3
