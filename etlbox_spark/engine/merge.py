@@ -156,6 +156,29 @@ def read_changes(
     return out
 
 
+def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
+    """Change-feed retention: drop committed delta-log epochs older than
+    ``before_epoch`` (exclusive). The log otherwise grows forever — one
+    dir per epoch — and consumers that have checkpointed past an epoch
+    never read it again. In-flight attempt dirs are left alone (a live
+    retry may still rename one into place); the table itself is
+    untouched (the delta log is derived data — snapshots and epoch
+    markers live in the lake manifest).
+
+    Returns ``{"removed": n, "kept": m}``.
+    """
+    removed = kept = 0
+    for name in sorted(os.listdir(delta_dir)):
+        if not name.startswith("epoch="):
+            continue
+        if int(name.split("=", 1)[1]) < before_epoch:
+            shutil.rmtree(os.path.join(delta_dir, name))
+            removed += 1
+        else:
+            kept += 1
+    return {"removed": removed, "kept": kept}
+
+
 @dataclass
 class MergeResult:
     epoch_id: int

@@ -254,3 +254,31 @@ def test_read_changes_incremental_feed(spark, tmp_path):
     # an in-flight (crashed, uncommitted) attempt is invisible to the feed
     shutil.copytree(f"{d}/epoch=2", f"{d}/_inflight-epoch-9")
     assert {int(r.epoch) for r in read_changes(spark, d).collect()} == {0, 1, 2}
+
+
+def test_expire_changes_retention(spark, tmp_path):
+    """Change-feed retention: epochs older than the cutoff disappear,
+    the rest (and in-flight attempt dirs) survive, and read_changes over
+    the remaining range still works."""
+    import os
+    import shutil
+
+    from etlbox_spark.engine.merge import expire_changes, read_changes
+
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    _apply(spark, t, [ev(10, "update", "p1", "Test1b")], MergeMode.DELTA, 1, d)
+    _apply(spark, t, [ev(20, "update", "p1", "Test1c")], MergeMode.DELTA, 2, d)
+    shutil.copytree(f"{d}/epoch=2", f"{d}/_inflight-epoch-3")
+
+    res = expire_changes(d, before_epoch=1)
+    assert res == {"removed": 1, "kept": 2}
+    assert sorted(n for n in os.listdir(d)) == [
+        "_inflight-epoch-3", "epoch=1", "epoch=2"
+    ]
+    feed = read_changes(spark, d)
+    assert {int(r.epoch) for r in feed.collect()} == {1, 2}
+    # the table is untouched by log retention
+    assert _snapshot(spark, t) == {("r0", "p1"): "Test1c", ("r0", "p2"): "Test2",
+                                   ("r0", "p3"): "Test3"}
