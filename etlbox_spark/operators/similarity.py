@@ -177,6 +177,74 @@ def ivf_lake_topk(
     )
 
 
+def ivf_lake_topk_batch(
+    spark,
+    table,
+    vec_col: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Batched IVF probe: one pass over the cluster-bucketed lake serves
+    MANY queries — the realistic ANN serving shape (per-query
+    ``ivf_lake_topk`` re-reads the table per call).
+
+    Scale shape:
+
+    * each query's ``n_probe`` nearest clusters are computed as a JVM
+      expression (sort (−sim, idx) structs over the centroid literal —
+      same max-cosine/lowest-index rule as ``probe_clusters``, so batch
+      and single-query paths can never disagree);
+    * the UNION of probed clusters prunes the lake read at the manifest
+      level — files of unprobed clusters are never listed (the cluster
+      id list is bounded driver metadata, ≤ len(centroids));
+    * the query batch BROADCASTS into the candidate join on the bucket
+      id; stored vectors never shuffle;
+    * exact cosine + per-query top-k (row_number window; candidates per
+      query are bounded by the probed clusters' rows).
+
+    Returns (query_id, vec_id, sim, rank) for the top ``k`` per query.
+    """
+    from pyspark.sql import Window
+
+    from ..engine.lake import BUCKET_COL
+
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine(F.col(query_vec_col), c))
+
+    def rank_probe(s: Column) -> Column:
+        # two-arg lambda = (element, index) — here the index IS the point
+        pairs = F.array_sort(
+            F.transform(s, lambda v, i: F.struct((-v).alias("ns"), i.alias("idx")))
+        )
+        return F.transform(F.slice(pairs, 1, n_probe), lambda p: p["idx"].cast("int"))
+
+    # bind sims once (the usual HOF subexpression-elimination gotcha)
+    probe_arr = F.element_at(F.transform(F.array(sims), rank_probe), 1)
+    q = queries.select(query_id_col, query_vec_col).withColumn("__probe", probe_arr)
+
+    clusters = sorted(
+        int(r[0]) for r in q.select(F.explode("__probe")).distinct().collect()
+    )
+    vecs = table.read(spark, buckets=clusters)
+    pr = q.select(
+        query_id_col, query_vec_col, F.explode("__probe").alias(BUCKET_COL)
+    )
+    scored = vecs.join(F.broadcast(pr), on=BUCKET_COL).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias(sim_col),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col(sim_col).desc(), F.col(id_col))
+    return scored.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
 def sample_centroids(df: DataFrame, vec_col: str, n: int, id_col: str = "vec_id") -> list[list[float]]:
     """Deterministic centroid seed: the n vectors with the lowest ids
     (k-means init; deterministic beats random here — replay/oracle

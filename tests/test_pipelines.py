@@ -236,3 +236,38 @@ def test_ivf_lake_probe_matches_and_prunes(spark, tmp_path):
     assert len(all_buckets) > len(probe), "fixture must populate more clusters than probed"
     # and the full scan would read strictly more files
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+
+
+def test_ivf_lake_topk_batch_matches_per_query(spark, tmp_path):
+    """Batched IVF probe parity: for every query in the batch, the
+    result equals the single-query ivf_lake_topk on the same lake —
+    including the probe-cluster choice (same max-cosine/lowest-index
+    rule) and tie-breaking by vec_id."""
+    from etlbox_spark.operators.similarity import ivf_lake_topk_batch
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(e, "embedding", 8, iters=2)
+    t = ivf_lake_build(e, str(tmp_path / "ivf"), "embedding", cents)
+
+    qids = [3, 7, 11, 20]
+    queries = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = ivf_lake_topk_batch(
+        spark, t, "embedding", queries, cents, k=5, n_probe=2
+    )
+    got = {
+        qid: [(r["vec_id"], round(r["sim"], 9)) for r in rows]
+        for qid, rows in (
+            (qid, sorted(
+                (r for r in batch.collect() if r["query_id"] == qid),
+                key=lambda r: r["rk"],
+            )) for qid in qids
+        )
+    }
+    for qid in qids:
+        qv = [float(x) for x in
+              e.where(F.col("vec_id") == qid).select("embedding").collect()[0][0]]
+        single = ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2)
+        want = [(r["vec_id"], round(r["sim"], 9)) for r in single.collect()]
+        assert got[qid] == want, f"query {qid} diverged"
