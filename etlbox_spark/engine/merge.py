@@ -65,27 +65,53 @@ def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
     name BEFORE commit, so a crash in between left a visible epoch=N dir
     for an epoch that never committed)."""
     tmp, final = _delta_paths(delta_dir, epoch_id)
+    # heal a stale pre-rename-era attempt dir: the legacy name contains
+    # "=" and would be parsed as a conflicting partition column by any
+    # recursive listing (read_changes/stream_changes); nothing ever
+    # finalizes the legacy name anymore, so once THIS epoch is being
+    # finalized the legacy leftover is pure garbage
+    legacy = os.path.join(delta_dir, f"_inflight-epoch={epoch_id}")
+    if os.path.exists(legacy):
+        shutil.rmtree(legacy)
     if os.path.exists(final):
         return
     if os.path.exists(tmp):
         os.replace(tmp, final)
 
 
-def _merge_change_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
-    """Fold two epoch schemas: later epochs may ADD columns or WIDEN
-    numeric types (the only evolutions ``evolve_schema`` permits)."""
-    out = list(a.fields)
+def _fold_fields(
+    base: list[T.StructField], new: list[T.StructField], skip: frozenset[str] = frozenset()
+) -> tuple[list[T.StructField], bool]:
+    """The add-and-widen rule, shared by ``evolve_schema`` (table schema
+    vs batch) and ``_merge_change_schemas`` (epoch generations of the
+    change feed) so the two can never drift: fields in ``new`` are
+    appended if absent, widened in place per ``_WIDEN_RANK`` if
+    numerically wider, never narrowed or dropped. Returns (fields,
+    changed)."""
+    out = list(base)
     names = [f.name for f in out]
-    for f in b.fields:
+    changed = False
+    for f in new:
+        if f.name in skip:
+            continue
         if f.name not in names:
             out.append(T.StructField(f.name, f.dataType, True))
             names.append(f.name)
+            changed = True
         else:
             i = names.index(f.name)
             ra = _WIDEN_RANK.get(out[i].dataType.typeName())
             rb = _WIDEN_RANK.get(f.dataType.typeName())
             if ra is not None and rb is not None and rb > ra:
                 out[i] = T.StructField(f.name, f.dataType, True)
+                changed = True
+    return out, changed
+
+
+def _merge_change_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Fold two epoch schemas: later epochs may ADD columns or WIDEN
+    numeric types (the only evolutions ``evolve_schema`` permits)."""
+    out, _ = _fold_fields(list(a.fields), list(b.fields))
     return T.StructType(out)
 
 
@@ -119,19 +145,29 @@ def read_changes(
     add-and-widen schema via ``align_to_schema`` (typed nulls for
     missing columns, upcasts for widened ones) before the union.
 
-    Raises ``FileNotFoundError`` when no committed epoch is in range.
+    A caught-up consumer is the steady state, not an error: when the log
+    HAS committed epochs but none fall in the requested range (e.g.
+    ``from_epoch=last_processed+1`` with nothing new yet), the result is
+    an EMPTY feed with the newest generation's schema. Only a delta dir
+    with no committed epochs at all raises ``FileNotFoundError`` —
+    that's indistinguishable from a wrong path.
     """
-    eps = sorted(
+    all_eps = sorted(
         int(n.split("=", 1)[1])
         for n in os.listdir(delta_dir)
         if n.startswith("epoch=")
     )
+    if not all_eps:
+        raise FileNotFoundError(f"no committed epochs under {delta_dir}")
+    eps = all_eps
     if from_epoch is not None:
         eps = [e for e in eps if e >= int(from_epoch)]
     if to_epoch is not None:
         eps = [e for e in eps if e <= int(to_epoch)]
     if not eps:
-        raise FileNotFoundError(f"no committed epochs in range under {delta_dir}")
+        sch = spark.read.parquet(os.path.join(delta_dir, f"epoch={all_eps[-1]}")).schema
+        empty = T.StructType(list(sch.fields) + [T.StructField("epoch", T.IntegerType(), True)])
+        return spark.createDataFrame([], empty)
 
     groups: list[tuple[T.StructType, list[int]]] = []
     for e in eps:
@@ -165,10 +201,18 @@ def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
     untouched (the delta log is derived data — snapshots and epoch
     markers live in the lake manifest).
 
-    Returns ``{"removed": n, "kept": m}``.
+    Returns ``{"removed": n, "kept": m}``. Legacy-named in-flight dirs
+    (``_inflight-epoch=N`` — the pre-rename era whose ``=`` breaks
+    recursive listings) are also removed regardless of epoch: no current
+    code path will ever finalize that name, so they are unreachable
+    garbage that would otherwise poison ``stream_changes`` forever.
     """
     removed = kept = 0
     for name in sorted(os.listdir(delta_dir)):
+        if name.startswith("_inflight-epoch="):
+            shutil.rmtree(os.path.join(delta_dir, name))
+            removed += 1
+            continue
         if not name.startswith("epoch="):
             continue
         if int(name.split("=", 1)[1]) < before_epoch:
@@ -225,22 +269,9 @@ def evolve_schema(
     """
     engine_cols = {spec.seq_col, spec.op_col, BUCKET_COL, "epoch", "ts", "schema_ver"}
     engine_cols |= set(spec.key_cols)
-    by_name = {f.name: f for f in table_schema.fields}
-    out = list(table_schema.fields)
-    changed = False
-    for f in batch_schema.fields:
-        if f.name in engine_cols:
-            continue
-        cur = by_name.get(f.name)
-        if cur is None:
-            out.append(T.StructField(f.name, f.dataType, True))
-            changed = True
-        elif cur.dataType != f.dataType:
-            a = _WIDEN_RANK.get(cur.dataType.typeName())
-            b = _WIDEN_RANK.get(f.dataType.typeName())
-            if a is not None and b is not None and b > a:
-                out[[x.name for x in out].index(f.name)] = T.StructField(f.name, f.dataType, True)
-                changed = True
+    out, changed = _fold_fields(
+        list(table_schema.fields), list(batch_schema.fields), frozenset(engine_cols)
+    )
     return T.StructType(out) if changed else None
 
 

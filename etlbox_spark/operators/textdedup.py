@@ -508,6 +508,13 @@ def dedup_incremental(
     cand_bc, cand_bb = incremental_candidates(
         spark, index, batch, id_col, text_col, n_perm, bands, ngram, seed
     )
+    # the candidate frames are consumed by several downstream actions
+    # (cids collect, the verify joins, isEmpty) — truncate their lineage
+    # once so the broadcast probe over the index runs a single time, not
+    # per action (same reasoning as connected_components' edge
+    # checkpoint)
+    cand_bc = cand_bc.localCheckpoint(eager=False)
+    cand_bb = cand_bb.localCheckpoint(eager=False)
 
     def with_text(df: DataFrame, idc: str, out: str, src: DataFrame) -> DataFrame:
         side = src.select(F.col(id_col).alias(idc), F.col(text_col).alias(out))
@@ -552,7 +559,10 @@ def dedup_incremental(
         losers = comp.where((F.col("component") < 0) | (F.col("id") != F.col("component"))).select(
             F.col("id").alias(id_col)
         )
-        survivors = batch.join(losers, on=id_col, how="left_anti")
+        # survivors feed up to three consumers (corpus commit, index
+        # commit, the caller) — checkpoint so the component labeling and
+        # verify joins don't re-execute per consumer
+        survivors = batch.join(losers, on=id_col, how="left_anti").localCheckpoint(eager=False)
 
     if commit_epoch is not None:
         from ..engine.merge import apply_epoch

@@ -271,9 +271,12 @@ def test_expire_changes_retention(spark, tmp_path):
     _apply(spark, t, [ev(10, "update", "p1", "Test1b")], MergeMode.DELTA, 1, d)
     _apply(spark, t, [ev(20, "update", "p1", "Test1c")], MergeMode.DELTA, 2, d)
     shutil.copytree(f"{d}/epoch=2", f"{d}/_inflight-epoch-3")
+    # legacy-era (pre-rename) attempt dir: its "=" poisons recursive
+    # listings and nothing will ever finalize it — retention removes it
+    shutil.copytree(f"{d}/epoch=2", f"{d}/_inflight-epoch=9")
 
     res = expire_changes(d, before_epoch=1)
-    assert res == {"removed": 1, "kept": 2}
+    assert res == {"removed": 2, "kept": 2}
     assert sorted(n for n in os.listdir(d)) == [
         "_inflight-epoch-3", "epoch=1", "epoch=2"
     ]

@@ -271,3 +271,20 @@ def test_ivf_lake_topk_batch_matches_per_query(spark, tmp_path):
         single = ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2)
         want = [(r["vec_id"], round(r["sim"], 9)) for r in single.collect()]
         assert got[qid] == want, f"query {qid} diverged"
+
+
+def test_dedup_incremental_empty_batch(spark, tmp_path):
+    """A nightly run with no new docs is a clean no-op epoch: zero
+    survivors, untouched table, but the epoch marker still records so a
+    retry of the empty epoch stays exactly-once."""
+    from etlbox_spark.operators.textdedup import dedup_incremental, lsh_index_build
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    t, _ = corpus_dedup_pipeline(docs, str(tmp_path / "docs"))
+    idx = lsh_index_build(t.read(spark, with_bucket=False), str(tmp_path / "idx"))
+    before = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+
+    surv = dedup_incremental(spark, t, idx, docs.where("doc_id < 0"), commit_epoch=2)
+    assert surv.count() == 0
+    assert {r["doc_id"] for r in t.read(spark).select("doc_id").collect()} == before
+    assert 2 in t.manifest().committed_epochs

@@ -182,6 +182,14 @@ def test_read_changes_spans_schema_evolution(spark, tmp_path):
     old = read_changes(spark, d, to_epoch=0)
     assert {int(r.epoch) for r in old.collect()} == {0}
 
+    # caught-up consumer (from_epoch past the head) = EMPTY feed with the
+    # newest generation's schema, not an error — it's the steady state of
+    # the documented tailing pattern
+    ahead = read_changes(spark, d, from_epoch=99)
+    assert ahead.count() == 0
+    assert {f.name: f.dataType for f in ahead.schema.fields}["stars"] == T.LongType()
+
+    # only a log with no committed epochs at all is an error
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
-        read_changes(spark, d, from_epoch=99)
+        read_changes(spark, str(tmp_path / "nonexistent"))

@@ -229,10 +229,19 @@ def test_live_cdc_in_to_cdc_out_chain(spark, tmp_path, event_stream):
             while {int(r["epoch"]) for r in seen} != epoch_set and _t.monotonic() < deadline:
                 _t.sleep(0.5); drain()
 
+        def land(src):
+            # atomic landing: copytree directly into the watched glob can
+            # be listed MID-COPY by the 300ms trigger, splitting one
+            # source epoch across two micro-batches (= two log epochs)
+            import os as _os
+            stage = tmp_path / ("stage_" + src.name)
+            _sh.copytree(src, stage)
+            _os.rename(stage, live_dir / src.name)
+
         wait_for({0})
-        _sh.copytree(epochs[1], live_dir / epochs[1].name)
+        land(epochs[1])
         wait_for({0, 1})
-        _sh.copytree(epochs[2], live_dir / epochs[2].name)
+        land(epochs[2])
         wait_for({0, 1, 2})
     finally:
         q.stop()
