@@ -1,5 +1,5 @@
 from .checkpoint import Checkpoint
-from .lake import BUCKET_COL, LakeTable, Manifest
+from .lake import BUCKET_COL, ConcurrentCommitError, LakeTable, Manifest
 from .merge import (
     ACTION_COL,
     MergeResult,
@@ -17,6 +17,7 @@ __all__ = [
     "BUCKET_COL",
     "ChangeAction",
     "Checkpoint",
+    "ConcurrentCommitError",
     "LakeTable",
     "Manifest",
     "MergeMode",

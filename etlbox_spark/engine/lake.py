@@ -4,10 +4,22 @@ No Iceberg/Delta/Hudi jars ship with this PySpark install (SURVEY.md §1.2),
 so the table format is ours. It provides exactly the guarantees the engine
 needs (BASELINE.json:6,14):
 
-* **Atomic commits** — a snapshot is a JSON manifest ``meta/v{N}.json``;
-  the *only* mutation visible to readers is the atomic ``os.replace`` of
-  the ``meta/_latest`` pointer. A crash anywhere before the pointer swap
-  leaves the previous snapshot intact (orphan data files are ignored).
+* **Atomic commits with optimistic concurrency** — a snapshot is a JSON
+  manifest ``meta/v{N}.json`` whose *creation* (a hard-link of a fully
+  fsynced temp file, i.e. create-exclusive) IS the commit, exactly the
+  Delta paper's log protocol: at most one writer wins each version; the
+  loser rebases (epoch commits over logical-no-op compactions) or
+  recomputes (maintenance), or fails loudly with
+  ``ConcurrentCommitError`` — never a silent lost update. A crash
+  anywhere before the link leaves the previous snapshot intact (orphan
+  data files are vacuum's problem). ``meta/_latest`` is a monotonic
+  floor hint for readers, not the commit point.
+* **Concurrency model** — ONE ingest writer (the epoch runner) plus any
+  number of concurrent maintenance jobs (``compact``/``vacuum``). An
+  epoch commit losing the CAS to a compaction rebases and retries
+  (compaction never changes logical content, so rows classified against
+  the older snapshot stay exact); racing epoch writers resolve the same
+  epoch id idempotently and conflict loudly on different ids.
 * **Idempotent / exactly-once epochs** — each manifest carries the set of
   ``committed_epochs``; committing an epoch already in the set is a no-op,
   so replay after failure converges to the identical table state.
@@ -24,8 +36,9 @@ needs (BASELINE.json:6,14):
 * **Time travel (for tests)** — any ``meta/v{N}.json`` can be read back.
 
 Commit protocol follows the Delta Lake paper's optimistic protocol
-(PAPERS.md) restricted to a single writer (the epoch runner is the only
-writer; Spark executors write data files but never metadata).
+(PAPERS.md): data files first, then a create-exclusive metadata commit
+with conflict detection (Spark executors write data files but never
+metadata).
 
 Layout::
 
@@ -71,6 +84,12 @@ MOR_ORDER_COL = "__order"  # manifest version the delta committed at
 KHASH_COL = "__khash"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A commit lost the manifest CAS to a conflicting concurrent commit
+    and could not be safely rebased. The table is untouched by the loser;
+    re-running the losing job against the new snapshot is always safe."""
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -93,6 +112,12 @@ class Manifest:
     committed_epochs: list[int]
     parent: int | None = None
     properties: dict[str, Any] = field(default_factory=dict)
+    # what produced this snapshot: create | epoch | epoch-delta | compact
+    # | rebucket | truncate. Conflict resolution keys off it: "compact"
+    # is the only logical no-op an epoch commit may rebase across.
+    # (Missing in pre-r04 manifests → dataclass default "epoch", which is
+    # conservative: rebase refuses rather than assumes.)
+    operation: str = "epoch"
 
     def schema(self, version: int | None = None) -> T.StructType:
         v = version if version is not None else self.current_schema_version
@@ -132,20 +157,55 @@ class LakeTable:
         return os.path.exists(self._pointer_path())
 
     def latest_version(self) -> int:
+        # the pointer is a FLOOR, not the commit point: a writer can
+        # crash (or lose a benign pointer race) between the manifest
+        # link — which IS the commit — and the pointer update, so scan
+        # past it. Raises FileNotFoundError after drop() (pointer gone).
         with open(self._pointer_path(), encoding="utf-8") as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = max(v, int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return v
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = version if version is not None else self.latest_version()
         with open(os.path.join(self._meta_dir, f"v{v}.json"), encoding="utf-8") as f:
             return Manifest.from_json(f.read())
 
-    def _publish(self, m: Manifest) -> None:
-        """Write manifest v{N}, then atomically swap the pointer."""
+    def _publish(self, m: Manifest) -> bool:
+        """Optimistic-CAS publish: creating ``meta/v{N}.json`` IS the
+        commit. The content is fully written + fsynced to a temp file,
+        then hard-linked into place — create-exclusive, so at most ONE
+        writer wins each version; the loser gets ``False`` and must
+        rebase or recompute. The ``_latest`` pointer is advanced
+        best-effort afterwards (readers treat it as a floor)."""
         os.makedirs(self._meta_dir, exist_ok=True)
         mpath = os.path.join(self._meta_dir, f"v{m.version}.json")
-        _atomic_write(mpath, m.to_json())
-        _atomic_write(self._pointer_path(), str(m.version))
+        tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(m.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, mpath)  # atomic create-exclusive on POSIX
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        try:
+            cur = -1
+            if os.path.exists(self._pointer_path()):
+                with open(self._pointer_path(), encoding="utf-8") as f:
+                    cur = int(f.read().strip())
+            if m.version > cur:
+                _atomic_write(self._pointer_path(), str(m.version))
+        except OSError:
+            pass  # pointer is a hint; the linked manifest is the truth
+        return True
 
     # -------------------------------------------------------------- create
     @staticmethod
@@ -188,8 +248,10 @@ class LakeTable:
             committed_epochs=[],
             parent=None,
             properties=properties or {},
+            operation="create",
         )
-        t._publish(m)
+        if not t._publish(m):
+            raise FileExistsError(f"concurrent create of table at {root}")
         return t
 
     @staticmethod
@@ -215,24 +277,45 @@ class LakeTable:
         m: Manifest,
         entries: list[dict[str, Any]],
         extra_fields: list[T.StructField] | None = None,
+        khash_in: list[int] | None = None,
     ) -> DataFrame:
         """Read ``entries`` aligned to the current schema (+ bucket):
         group files by schema version, null-backfill added columns, cast
         widened columns. ``extra_fields`` are engine columns stored in
-        the files beyond the data schema (the MOR op/order columns)."""
+        the files beyond the data schema (the MOR op/order columns).
+
+        ``khash_in`` pushes a ``__khash IN (...)`` filter INTO the scan
+        (PushedFilters → parquet row-group stats), the row-level half of
+        the point-lookup pruning: the manifest skips files whose hash
+        range excludes every probe, this skips the non-matching rows of
+        the files that remain — so a point probe of a fat MoR bucket
+        feeds only matching-hash rows into the merge shuffle instead of
+        the whole bucket. Exact for probed keys: a row of a probed key
+        always carries that key's hash (same column the write path
+        stamped); null-hash rows (pre-khash legacy files) are kept."""
         cur = m.schema()
         extra = extra_fields or []
+        khash_fld = [T.StructField(KHASH_COL, T.LongType(), True)] if khash_in is not None else []
         stored_extra = lambda ver: T.StructType(  # noqa: E731
-            list(self._stored_schema(m, ver).fields) + extra
+            list(self._stored_schema(m, ver).fields) + extra + khash_fld
         )
         if not entries:
-            return spark.createDataFrame([], stored_extra(m.current_schema_version))
+            # no khash field here: the non-empty path drops it in the
+            # per-version select, so the output schema must match
+            return spark.createDataFrame(
+                [], T.StructType(list(self._stored_schema(m, m.current_schema_version).fields) + extra)
+            )
         by_ver: dict[int, list[str]] = {}
         for e in entries:
             by_ver.setdefault(e["schema_version"], []).append(os.path.join(self.root, e["path"]))
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
             df = spark.read.schema(stored_extra(ver)).parquet(*paths)
+            if khash_in is not None:
+                df = df.where(
+                    F.col(KHASH_COL).isNull()
+                    | F.col(KHASH_COL).isin([int(h) for h in khash_in])
+                )
             exprs = []
             for fld in cur.fields:
                 if fld.name in df.columns:
@@ -293,7 +376,11 @@ class LakeTable:
             bset = set(buckets)
             entries = [e for e in entries if e["bucket"] in bset]
         if key_hashes is not None:
-            # file-level stats pruning (SURVEY.md §4): ONLY rows whose
+            # two-level point-probe pruning (SURVEY.md §4): files whose
+            # [khash_min, khash_max] exclude every probe are skipped
+            # here, and the surviving files are scanned with a pushed
+            # ``__khash IN (...)`` row filter (_read_aligned) so only
+            # matching-hash rows enter the MoR merge. ONLY rows whose
             # xxhash64(key) is among ``key_hashes`` are exact in the
             # result — a pruned file may hold newer versions of OTHER
             # keys, so callers must filter to the probed keys (as
@@ -305,7 +392,7 @@ class LakeTable:
 
         delta_entries = [e for e in entries if e.get("kind") == "delta"]
         if not delta_entries:
-            return self._read_aligned(spark, m, entries).select(*out_cols)
+            return self._read_aligned(spark, m, entries, khash_in=key_hashes).select(*out_cols)
 
         mor_fields = [
             T.StructField(MOR_OP_COL, T.StringType(), False),
@@ -320,11 +407,13 @@ class LakeTable:
         # bucket (commit_buckets / compact / rebucket) drops that bucket's
         # delta entries, so every live delta's order exceeds its base's
         base = (
-            self._read_aligned(spark, m, dirty_base)
+            self._read_aligned(spark, m, dirty_base, khash_in=key_hashes)
             .withColumn(MOR_OP_COL, F.lit("upsert"))
             .withColumn(MOR_ORDER_COL, F.lit(0).cast("long"))
         )
-        delta = self._read_aligned(spark, m, delta_entries, extra_fields=mor_fields)
+        delta = self._read_aligned(
+            spark, m, delta_entries, extra_fields=mor_fields, khash_in=key_hashes
+        )
         allr = base.unionByName(delta)
         keys = list(m.key_cols)
         rest = [c for c in allr.columns if c not in keys]
@@ -336,7 +425,11 @@ class LakeTable:
             .drop(MOR_OP_COL, MOR_ORDER_COL)
         )
         if clean:
-            merged = self._read_aligned(spark, m, clean).select(*merged.columns).unionByName(merged)
+            merged = (
+                self._read_aligned(spark, m, clean, khash_in=key_hashes)
+                .select(*merged.columns)
+                .unionByName(merged)
+            )
         return merged.select(*out_cols)
 
     def is_committed(self, epoch_id: int) -> bool:
@@ -439,54 +532,108 @@ class LakeTable:
                 )
         return entries
 
+    def _rebase_epoch(self, base_version: int, epoch_id: int) -> Manifest | None:
+        """An epoch commit found the table moved past the snapshot its
+        rows were derived from (lost the publish CAS, or a concurrent
+        commit landed between the classify read and the commit): decide
+        whether it can rebase. Safe iff every intervening commit is a
+        ``compact`` — compaction never changes logical content, so rows
+        classified against ``base_version``'s snapshot are still exact
+        (and n_buckets/schema are untouched by construction). Anything
+        else (another epoch writer, rebucket, truncate) invalidates the
+        derived rows → raise loudly instead of publishing a silent lost
+        update. Returns None when another replayer already committed
+        this very epoch (idempotent race)."""
+        m2 = self.manifest()
+        if epoch_id in m2.committed_epochs:
+            return None
+        for v in range(base_version + 1, m2.version + 1):
+            try:
+                op = self.manifest(v).operation
+            except FileNotFoundError as e:
+                raise ConcurrentCommitError(
+                    f"cannot verify intervening commit v{v} (already vacuumed?)"
+                ) from e
+            if op != "compact":
+                raise ConcurrentCommitError(
+                    f"concurrent {op!r} commit at v{v} conflicts with epoch "
+                    f"{epoch_id} derived from snapshot v{base_version}; the "
+                    "lake supports ONE ingest writer plus concurrent "
+                    "maintenance (compact/vacuum)"
+                )
+        return m2
+
     def commit_buckets(
         self,
         df: DataFrame,
         changed_buckets: list[int],
         epoch_id: int,
         new_schema: T.StructType | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Replace the contents of ``changed_buckets`` with ``df`` (which
         must hold *all* surviving rows of exactly those buckets, incl. the
         ``bucket`` column), atomically, stamped with ``epoch_id``.
 
         Idempotent: if ``epoch_id`` is already committed this is a no-op.
-        Returns the new (or current) snapshot version.
+        ``base_version`` (when given) is the snapshot version ``df`` was
+        derived from — the commit validates every commit that landed
+        since (the full optimistic read-classify-commit transaction, not
+        just the publish CAS) and rebases across compactions or fails
+        with ``ConcurrentCommitError``. Returns the new (or current)
+        snapshot version.
         """
         m = self.manifest()
         if epoch_id in m.committed_epochs:
             return m.version
-        new_ver = m.version + 1
-        schemas = dict(m.schemas)
-        cur_sv = m.current_schema_version
-        if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
-            cur_sv += 1
-            schemas[str(cur_sv)] = new_schema.jsonValue()
+        if base_version is not None and m.version != base_version:
+            m2 = self._rebase_epoch(base_version, epoch_id)
+            if m2 is None:  # another replayer already committed it
+                return self.latest_version()
+            m = m2
 
         changed = set(changed_buckets)
-        keep = [e for e in m.files if e["bucket"] not in changed]
         new_entries: list[dict[str, Any]] = []
         if changed:
-            new_entries = self._write_data(df, f"c{new_ver}-e{epoch_id}", m.key_cols)
+            # data files are written ONCE, before the CAS loop — the
+            # uuid suffix keeps racing attempts (two replayers of the
+            # same epoch, commit vs compact at the same version) from
+            # colliding in one directory; a losing attempt's directory
+            # is an orphan for vacuum
+            new_entries = self._write_data(
+                df, f"c{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+            )
             for e in new_entries:
-                e["schema_version"] = cur_sv
                 if e["bucket"] not in changed:
                     raise RuntimeError(
                         f"commit wrote bucket {e['bucket']} outside changed set {sorted(changed)}"
                     )
-        nm = Manifest(
-            version=new_ver,
-            key_cols=m.key_cols,
-            n_buckets=m.n_buckets,
-            current_schema_version=cur_sv,
-            schemas=schemas,
-            files=keep + new_entries,
-            committed_epochs=sorted([*m.committed_epochs, epoch_id]),
-            parent=m.version,
-            properties=m.properties,
-        )
-        self._publish(nm)
-        return new_ver
+        while True:
+            cur_sv = m.current_schema_version
+            schemas = dict(m.schemas)
+            if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
+                cur_sv += 1
+                schemas[str(cur_sv)] = new_schema.jsonValue()
+            for e in new_entries:
+                e["schema_version"] = cur_sv
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=cur_sv,
+                schemas=schemas,
+                files=[e for e in m.files if e["bucket"] not in changed] + new_entries,
+                committed_epochs=sorted([*m.committed_epochs, epoch_id]),
+                parent=m.version,
+                properties=m.properties,
+                operation="epoch",
+            )
+            if self._publish(nm):
+                return nm.version
+            m2 = self._rebase_epoch(m.version, epoch_id)
+            if m2 is None:  # another replayer won this epoch: no-op
+                return self.latest_version()
+            m = m2
 
     def commit_delta_buckets(
         self,
@@ -494,6 +641,7 @@ class LakeTable:
         changed_buckets: list[int],
         epoch_id: int,
         new_schema: T.StructType | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Merge-on-read commit: APPEND per-epoch delta files for
         ``changed_buckets`` instead of rewriting them (copy-on-write
@@ -516,38 +664,61 @@ class LakeTable:
         m = self.manifest()
         if epoch_id in m.committed_epochs:
             return m.version
-        new_ver = m.version + 1
-        schemas = dict(m.schemas)
-        cur_sv = m.current_schema_version
-        if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
-            cur_sv += 1
-            schemas[str(cur_sv)] = new_schema.jsonValue()
+        if base_version is not None and m.version != base_version:
+            m2 = self._rebase_epoch(base_version, epoch_id)
+            if m2 is None:  # another replayer already committed it
+                return self.latest_version()
+            m = m2
 
         changed = set(changed_buckets)
         new_entries: list[dict[str, Any]] = []
         if changed:
-            stamped = df.withColumn(MOR_ORDER_COL, F.lit(new_ver).cast("long"))
-            new_entries = self._write_data(stamped, f"d{new_ver}-e{epoch_id}", m.key_cols)
+            # __order is stamped with the FIRST attempt's version; if the
+            # CAS is lost to a compaction and the commit rebases, the
+            # final version exceeds the stamp — still sound, because the
+            # order invariants only need (a) stamp > 0 (base rows read at
+            # 0; a compacted base of this bucket folded only PRIOR
+            # deltas, which this epoch logically supersedes), and
+            # (b) stamps strictly increase across delta commits of a
+            # bucket — guaranteed by the single-ingest-writer rule (the
+            # next epoch's stamp is its snapshot version + 1 ≥ this
+            # commit's final version + 1 > this stamp).
+            stamped = df.withColumn(MOR_ORDER_COL, F.lit(m.version + 1).cast("long"))
+            new_entries = self._write_data(
+                stamped, f"d{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+            )
             for e in new_entries:
-                e["schema_version"] = cur_sv
                 e["kind"] = "delta"
                 if e["bucket"] not in changed:
                     raise RuntimeError(
                         f"delta commit wrote bucket {e['bucket']} outside changed set"
                     )
-        nm = Manifest(
-            version=new_ver,
-            key_cols=m.key_cols,
-            n_buckets=m.n_buckets,
-            current_schema_version=cur_sv,
-            schemas=schemas,
-            files=m.files + new_entries,
-            committed_epochs=sorted([*m.committed_epochs, epoch_id]),
-            parent=m.version,
-            properties=m.properties,
-        )
-        self._publish(nm)
-        return new_ver
+        while True:
+            cur_sv = m.current_schema_version
+            schemas = dict(m.schemas)
+            if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
+                cur_sv += 1
+                schemas[str(cur_sv)] = new_schema.jsonValue()
+            for e in new_entries:
+                e["schema_version"] = cur_sv
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=cur_sv,
+                schemas=schemas,
+                files=m.files + new_entries,
+                committed_epochs=sorted([*m.committed_epochs, epoch_id]),
+                parent=m.version,
+                properties=m.properties,
+                operation="epoch-delta",
+            )
+            if self._publish(nm):
+                return nm.version
+            m2 = self._rebase_epoch(m.version, epoch_id)
+            if m2 is None:  # another replayer won this epoch: no-op
+                return self.latest_version()
+            m = m2
 
     def overwrite(self, df: DataFrame, epoch_id: int) -> int:
         """Truncate-and-reload fast path (ETLBox UseTruncateMethod,
@@ -559,23 +730,26 @@ class LakeTable:
         return self.commit_buckets(df, all_buckets, epoch_id)
 
     def truncate(self, epoch_id: int) -> int:
-        """TruncateTableTask analog: new empty snapshot."""
-        m = self.manifest()
-        if epoch_id in m.committed_epochs:
-            return m.version
-        nm = Manifest(
-            version=m.version + 1,
-            key_cols=m.key_cols,
-            n_buckets=m.n_buckets,
-            current_schema_version=m.current_schema_version,
-            schemas=dict(m.schemas),
-            files=[],
-            committed_epochs=sorted([*m.committed_epochs, epoch_id]),
-            parent=m.version,
-            properties=m.properties,
-        )
-        self._publish(nm)
-        return nm.version
+        """TruncateTableTask analog: new empty snapshot. A lost CAS just
+        retries on the newer snapshot — truncate serializes last."""
+        while True:
+            m = self.manifest()
+            if epoch_id in m.committed_epochs:
+                return m.version
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=m.current_schema_version,
+                schemas=dict(m.schemas),
+                files=[],
+                committed_epochs=sorted([*m.committed_epochs, epoch_id]),
+                parent=m.version,
+                properties=m.properties,
+                operation="truncate",
+            )
+            if self._publish(nm):
+                return nm.version
 
     # -------------------------------------------------------- maintenance
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
@@ -593,29 +767,36 @@ class LakeTable:
         """
         from ..functions.hashing import bucket_expr
 
-        m = self.manifest()
-        if new_n_buckets == m.n_buckets:
-            return m.version
-        df = self.read(spark, with_bucket=False).withColumn(
-            BUCKET_COL, bucket_expr(new_n_buckets, *m.key_cols)
-        )
-        new_ver = m.version + 1
-        entries = self._write_data(df, f"rebucket-v{new_ver}", m.key_cols)
-        for e in entries:
-            e["schema_version"] = m.current_schema_version
-        nm = Manifest(
-            version=new_ver,
-            key_cols=m.key_cols,
-            n_buckets=new_n_buckets,
-            current_schema_version=m.current_schema_version,
-            schemas=dict(m.schemas),
-            files=entries,
-            committed_epochs=list(m.committed_epochs),
-            parent=m.version,
-            properties=m.properties,
-        )
-        self._publish(nm)
-        return new_ver
+        for _attempt in range(5):
+            m = self.manifest()
+            if new_n_buckets == m.n_buckets:
+                return m.version
+            df = self.read(spark, with_bucket=False, version=m.version).withColumn(
+                BUCKET_COL, bucket_expr(new_n_buckets, *m.key_cols)
+            )
+            new_ver = m.version + 1
+            entries = self._write_data(
+                df, f"rebucket-v{new_ver}-{uuid.uuid4().hex[:6]}", m.key_cols
+            )
+            for e in entries:
+                e["schema_version"] = m.current_schema_version
+            nm = Manifest(
+                version=new_ver,
+                key_cols=m.key_cols,
+                n_buckets=new_n_buckets,
+                current_schema_version=m.current_schema_version,
+                schemas=dict(m.schemas),
+                files=entries,
+                committed_epochs=list(m.committed_epochs),
+                parent=m.version,
+                properties=m.properties,
+                operation="rebucket",
+            )
+            if self._publish(nm):
+                return new_ver
+            # lost the CAS: the rewrite is a full recompute, so just
+            # retry against the newer snapshot (orphans → vacuum)
+        raise ConcurrentCommitError("rebucket lost the publish CAS 5 times")
 
     def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, int]:
         """Fold a bucket's accumulated delta files back into one base file
@@ -626,41 +807,51 @@ class LakeTable:
         is a maintenance commit like ``rebucket``; crash mid-way leaves
         the old manifest live (orphans reclaimed by vacuum).
         """
-        m = self.manifest()
         want = None if buckets is None else set(buckets)
-        dirty = sorted({
-            e["bucket"]
-            for e in m.files
-            if e.get("kind") == "delta" and (want is None or e["bucket"] in want)
-        })
-        if not dirty:
-            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-        n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
-        df = self.read(spark, buckets=dirty)
-        new_ver = m.version + 1
-        entries = self._write_data(df, f"compact-v{new_ver}", m.key_cols)
-        for e in entries:
-            e["schema_version"] = m.current_schema_version
-            if e["bucket"] not in set(dirty):
-                raise RuntimeError(f"compact wrote bucket {e['bucket']} outside dirty set")
-        keep = [e for e in m.files if e["bucket"] not in set(dirty)]
-        nm = Manifest(
-            version=new_ver,
-            key_cols=m.key_cols,
-            n_buckets=m.n_buckets,
-            current_schema_version=m.current_schema_version,
-            schemas=dict(m.schemas),
-            files=keep + entries,
-            committed_epochs=list(m.committed_epochs),
-            parent=m.version,
-            properties=m.properties,
-        )
-        self._publish(nm)
-        return {
-            "buckets_compacted": len(dirty),
-            "files_before": n_before,
-            "files_after": len(entries),
-        }
+        for _attempt in range(5):
+            m = self.manifest()
+            dirty = sorted({
+                e["bucket"]
+                for e in m.files
+                if e.get("kind") == "delta" and (want is None or e["bucket"] in want)
+            })
+            if not dirty:
+                return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+            n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
+            # pin the snapshot the fold was computed from — re-resolving
+            # _latest inside read() would race a concurrent epoch commit
+            df = self.read(spark, buckets=dirty, version=m.version)
+            new_ver = m.version + 1
+            entries = self._write_data(
+                df, f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}", m.key_cols
+            )
+            for e in entries:
+                e["schema_version"] = m.current_schema_version
+                if e["bucket"] not in set(dirty):
+                    raise RuntimeError(f"compact wrote bucket {e['bucket']} outside dirty set")
+            keep = [e for e in m.files if e["bucket"] not in set(dirty)]
+            nm = Manifest(
+                version=new_ver,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=m.current_schema_version,
+                schemas=dict(m.schemas),
+                files=keep + entries,
+                committed_epochs=list(m.committed_epochs),
+                parent=m.version,
+                properties=m.properties,
+                operation="compact",
+            )
+            if self._publish(nm):
+                return {
+                    "buckets_compacted": len(dirty),
+                    "files_before": n_before,
+                    "files_after": len(entries),
+                }
+            # lost the CAS to a concurrent commit (an ingest epoch may
+            # have appended newer deltas to these buckets): the folded
+            # output is stale — recompute from the new snapshot
+        raise ConcurrentCommitError("compact lost the publish CAS 5 times")
 
     def vacuum(self, keep_versions: int = 1, grace_s: float = 0.0) -> dict[str, int]:
         """Delete data files referenced only by manifests older than the
@@ -713,3 +904,29 @@ class LakeTable:
 
     def schema(self, version: int | None = None) -> T.StructType:
         return self.manifest().schema(version)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot history, newest first, within the retained (not yet
+        vacuumed) manifest window — the Delta ``DESCRIBE HISTORY`` /
+        Iceberg snapshot-log analog, straight off the manifests (no
+        scan). Each entry: version, operation, parent, file/row totals,
+        epochs committed so far, and current schema version."""
+        out: list[dict[str, Any]] = []
+        for v in range(self.latest_version(), -1, -1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # older manifests vacuumed away
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.operation,
+                    "parent": m.parent,
+                    "n_files": len(m.files),
+                    "total_rows": m.total_rows,
+                    "n_epochs": len(m.committed_epochs),
+                    "schema_version": m.current_schema_version,
+                    "n_buckets": m.n_buckets,
+                }
+            )
+        return out

@@ -449,8 +449,16 @@ def apply_epoch(
     # DELTA prunes the snapshot scan to touched buckets; FULL/NO_DELETIONS
     # must diff the entire table (semantics require it). The snapshot is
     # aligned too — it still reads under the pre-evolution schema.
+    # version-pinned: the classify snapshot, the commit's conflict check
+    # (base_version below) and the epoch marker test above must all see
+    # the SAME manifest, or a concurrent maintenance commit landing
+    # mid-epoch would split them
     snap = align_to_schema(
-        lake.read(spark, buckets=touched if mode is MergeMode.DELTA else None),
+        lake.read(
+            spark,
+            buckets=touched if mode is MergeMode.DELTA else None,
+            version=man.version,
+        ),
         table_schema,
         (BUCKET_COL,),
     )
@@ -504,13 +512,17 @@ def apply_epoch(
             .otherwise(F.lit("upsert"))
             .alias(MOR_OP_COL),
         )
-        version = lake.commit_delta_buckets(mor_rows, changed, epoch_id, new_schema=new_schema)
+        version = lake.commit_delta_buckets(
+            mor_rows, changed, epoch_id, new_schema=new_schema, base_version=man.version
+        )
     else:
         new_rows = (
             j.where(F.col(BUCKET_COL).isin(changed) & F.col("__keep"))
             .select(*spec.key_cols, *payload_cols, BUCKET_COL)
         )
-        version = lake.commit_buckets(new_rows, changed, epoch_id, new_schema=new_schema)
+        version = lake.commit_buckets(
+            new_rows, changed, epoch_id, new_schema=new_schema, base_version=man.version
+        )
     if delta_dir is not None:
         _finalize_delta(delta_dir, epoch_id)
     return MergeResult(

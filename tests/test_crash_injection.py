@@ -79,11 +79,13 @@ def test_crash_after_delta_write_before_commit(spark, tmp_path, monkeypatch):
     real_commit = LT.commit_buckets
     calls = {"n": 0}
 
-    def flaky_commit(self, df, changed, epoch_id, new_schema=None):
+    def flaky_commit(self, df, changed, epoch_id, new_schema=None, base_version=None):
         calls["n"] += 1
         if calls["n"] == 2:  # crash exactly on epoch 1's commit
             raise RuntimeError("simulated crash after delta write")
-        return real_commit(self, df, changed, epoch_id, new_schema=new_schema)
+        return real_commit(
+            self, df, changed, epoch_id, new_schema=new_schema, base_version=base_version
+        )
 
     monkeypatch.setattr(LT, "commit_buckets", flaky_commit)
     apply_epoch(spark, t, spark.createDataFrame(EPOCHS[0], EVENTS_SCHEMA),

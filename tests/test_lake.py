@@ -97,20 +97,29 @@ def test_bucket_pruned_read_lists_only_selected_files(spark, tmp_path):
     assert plan  # smoke: plan renders
 
 
-def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
+def test_manifest_link_is_the_commit_point(spark, tmp_path):
+    """The CAS protocol's two crash windows: a temp manifest that never
+    got linked is invisible; a linked manifest with a stale pointer IS
+    committed (latest_version scans past the pointer floor)."""
     t = _mk(tmp_path)
     df = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
     bs = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
     t.commit_buckets(df, bs, epoch_id=0)
     v = t.latest_version()
-    # simulate a crash: data + manifest written, pointer NOT swapped
     m = t.manifest()
+    meta = os.path.join(str(tmp_path / "t"), "meta")
     orphan = m.to_json().replace(f'"version": {m.version}', f'"version": {m.version + 1}')
-    with open(os.path.join(str(tmp_path / "t"), "meta", f"v{m.version + 1}.json"), "w") as f:
+    # crash BEFORE the link: only the fsynced temp file exists
+    with open(os.path.join(meta, f"v{m.version + 1}.json.tmp.deadbeef"), "w") as f:
         f.write(orphan)
     t2 = LakeTable.load(str(tmp_path / "t"))
     assert t2.latest_version() == v  # reader still sees the old snapshot
     assert t2.read(spark).count() == 1
+    # crash AFTER the link, BEFORE the pointer update: committed
+    with open(os.path.join(meta, f"v{m.version + 1}.json"), "w") as f:
+        f.write(orphan)
+    assert t2.latest_version() == v + 1
+    assert t2.read(spark).count() == 1  # same files, just a newer snapshot
 
 
 def test_time_travel(spark, tmp_path):
@@ -247,3 +256,19 @@ def test_manifest_khash_stats_and_point_lookup_pruning(spark, tmp_path):
     # un-updated key resolves to its base version
     got2 = {(r.repo, r.path, r.content) for r in t.lookup_keys(spark, [("r20", "p20")]).collect()}
     assert got2 == {("r20", "p20", "base20")}
+
+    # row-level half of the pruning: the probe read pushes a
+    # __khash IN (...) filter into the parquet scan (null-safe for
+    # legacy pre-khash files), so the surviving files' non-matching
+    # rows never enter the MoR merge shuffle
+    import contextlib
+    import io
+
+    probe_df = t.read(spark, buckets=[0, 1], key_hashes=[h])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_df.explain("formatted")
+    plan = buf.getvalue()
+    # one-element isin compiles to EqualTo; multi-element to In
+    assert "PushedFilters: [Or(IsNull(__khash)" in plan
+    assert f"EqualTo(__khash,{h})" in plan or "In(__khash" in plan
