@@ -56,6 +56,7 @@ directory layouts.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -159,16 +160,16 @@ class LakeTable:
     def latest_version(self) -> int:
         # the pointer is a FLOOR, not the commit point: a writer can
         # crash (or lose a benign pointer race) between the manifest
-        # link — which IS the commit — and the pointer update, so scan
-        # past it. Raises FileNotFoundError after drop() (pointer gone).
+        # link — which IS the commit — and the pointer update, so probe
+        # past it. Committed versions are dense (each CAS winner
+        # publishes exactly parent+1), so probing upward costs O(lag)
+        # stats and lag is ~0 outside a crash window — no O(#manifests)
+        # directory listing per call. Raises FileNotFoundError after
+        # drop() (pointer gone).
         with open(self._pointer_path(), encoding="utf-8") as f:
             v = int(f.read().strip())
-        for fn in os.listdir(self._meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                try:
-                    v = max(v, int(fn[1:-5]))
-                except ValueError:
-                    continue
+        while os.path.exists(os.path.join(self._meta_dir, f"v{v + 1}.json")):
+            v += 1
         return v
 
     def manifest(self, version: int | None = None) -> Manifest:
@@ -196,15 +197,22 @@ class LakeTable:
             return False
         finally:
             os.remove(tmp)
+        had_pointer = os.path.exists(self._pointer_path())
         try:
             cur = -1
-            if os.path.exists(self._pointer_path()):
+            if had_pointer:
                 with open(self._pointer_path(), encoding="utf-8") as f:
                     cur = int(f.read().strip())
             if m.version > cur:
                 _atomic_write(self._pointer_path(), str(m.version))
         except OSError:
-            pass  # pointer is a hint; the linked manifest is the truth
+            # once a pointer exists it is only a floor hint and the
+            # linked manifest is the truth — but the FIRST publish must
+            # fail loudly: without meta/_latest the table neither
+            # exists() nor load()s, yet a create() retry would hit the
+            # stale-metadata guard (v0.json present) and wedge
+            if not had_pointer:
+                raise
         return True
 
     # -------------------------------------------------------------- create
@@ -563,6 +571,64 @@ class LakeTable:
                 )
         return m2
 
+    @contextlib.contextmanager
+    def _inflight_guard(self):
+        """Mark a commit as in-flight for the span between its first data
+        file hitting disk and its manifest publish (or abandonment). A
+        concurrent vacuum floors its deletion cutoff at the oldest live
+        marker's mtime, so it can never reclaim files a still-running
+        commit is about to reference — the window a concurrent compact
+        would otherwise open by advancing the latest manifest's mtime
+        past the in-flight writer's data files."""
+        os.makedirs(self._meta_dir, exist_ok=True)
+        p = os.path.join(self._meta_dir, f"_inflight.{uuid.uuid4().hex[:8]}")
+        with open(p, "w", encoding="utf-8"):
+            pass  # the marker's mtime is its payload
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(p)
+
+    def _publish_epoch_with_rebase(
+        self,
+        m: Manifest,
+        epoch_id: int,
+        new_schema: T.StructType | None,
+        new_entries: list[dict[str, Any]],
+        files_fn: Any,
+        operation: str,
+    ) -> int:
+        """The shared CAS/rebase publish loop of both epoch commit
+        flavors. ``files_fn(manifest, new_entries)`` produces the new
+        file list (replace-by-bucket for CoW, append for MoR)."""
+        while True:
+            cur_sv = m.current_schema_version
+            schemas = dict(m.schemas)
+            if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
+                cur_sv += 1
+                schemas[str(cur_sv)] = new_schema.jsonValue()
+            for e in new_entries:
+                e["schema_version"] = cur_sv
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=cur_sv,
+                schemas=schemas,
+                files=files_fn(m, new_entries),
+                committed_epochs=sorted([*m.committed_epochs, epoch_id]),
+                parent=m.version,
+                properties=m.properties,
+                operation=operation,
+            )
+            if self._publish(nm):
+                return nm.version
+            m2 = self._rebase_epoch(m.version, epoch_id)
+            if m2 is None:  # another replayer won this epoch: no-op
+                return self.latest_version()
+            m = m2
+
     def commit_buckets(
         self,
         df: DataFrame,
@@ -593,47 +659,31 @@ class LakeTable:
             m = m2
 
         changed = set(changed_buckets)
-        new_entries: list[dict[str, Any]] = []
-        if changed:
-            # data files are written ONCE, before the CAS loop — the
-            # uuid suffix keeps racing attempts (two replayers of the
-            # same epoch, commit vs compact at the same version) from
-            # colliding in one directory; a losing attempt's directory
-            # is an orphan for vacuum
-            new_entries = self._write_data(
-                df, f"c{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+        with self._inflight_guard():
+            new_entries: list[dict[str, Any]] = []
+            if changed:
+                # data files are written ONCE, before the CAS loop — the
+                # uuid suffix keeps racing attempts (two replayers of the
+                # same epoch, commit vs compact at the same version) from
+                # colliding in one directory; a losing attempt's
+                # directory is an orphan for vacuum
+                new_entries = self._write_data(
+                    df, f"c{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+                )
+                for e in new_entries:
+                    if e["bucket"] not in changed:
+                        raise RuntimeError(
+                            f"commit wrote bucket {e['bucket']} outside changed set "
+                            f"{sorted(changed)}"
+                        )
+            return self._publish_epoch_with_rebase(
+                m,
+                epoch_id,
+                new_schema,
+                new_entries,
+                lambda mm, ne: [e for e in mm.files if e["bucket"] not in changed] + ne,
+                "epoch",
             )
-            for e in new_entries:
-                if e["bucket"] not in changed:
-                    raise RuntimeError(
-                        f"commit wrote bucket {e['bucket']} outside changed set {sorted(changed)}"
-                    )
-        while True:
-            cur_sv = m.current_schema_version
-            schemas = dict(m.schemas)
-            if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
-                cur_sv += 1
-                schemas[str(cur_sv)] = new_schema.jsonValue()
-            for e in new_entries:
-                e["schema_version"] = cur_sv
-            nm = Manifest(
-                version=m.version + 1,
-                key_cols=m.key_cols,
-                n_buckets=m.n_buckets,
-                current_schema_version=cur_sv,
-                schemas=schemas,
-                files=[e for e in m.files if e["bucket"] not in changed] + new_entries,
-                committed_epochs=sorted([*m.committed_epochs, epoch_id]),
-                parent=m.version,
-                properties=m.properties,
-                operation="epoch",
-            )
-            if self._publish(nm):
-                return nm.version
-            m2 = self._rebase_epoch(m.version, epoch_id)
-            if m2 is None:  # another replayer won this epoch: no-op
-                return self.latest_version()
-            m = m2
 
     def commit_delta_buckets(
         self,
@@ -671,63 +721,50 @@ class LakeTable:
             m = m2
 
         changed = set(changed_buckets)
-        new_entries: list[dict[str, Any]] = []
-        if changed:
-            # __order is stamped with the FIRST attempt's version; if the
-            # CAS is lost to a compaction and the commit rebases, the
-            # final version exceeds the stamp — still sound, because the
-            # order invariants only need (a) stamp > 0 (base rows read at
-            # 0; a compacted base of this bucket folded only PRIOR
-            # deltas, which this epoch logically supersedes), and
-            # (b) stamps strictly increase across delta commits of a
-            # bucket — guaranteed by the single-ingest-writer rule (the
-            # next epoch's stamp is its snapshot version + 1 ≥ this
-            # commit's final version + 1 > this stamp).
-            stamped = df.withColumn(MOR_ORDER_COL, F.lit(m.version + 1).cast("long"))
-            new_entries = self._write_data(
-                stamped, f"d{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+        with self._inflight_guard():
+            new_entries: list[dict[str, Any]] = []
+            if changed:
+                # __order is stamped with the FIRST attempt's version; if
+                # the CAS is lost to a compaction and the commit rebases,
+                # the final version exceeds the stamp — still sound,
+                # because the order invariants only need (a) stamp > 0
+                # (base rows read at 0; a compacted base of this bucket
+                # folded only PRIOR deltas, which this epoch logically
+                # supersedes), and (b) stamps strictly increase across
+                # delta commits of a bucket — guaranteed by the
+                # single-ingest-writer rule (the next epoch's stamp is
+                # its snapshot version + 1 ≥ this commit's final
+                # version + 1 > this stamp).
+                stamped = df.withColumn(MOR_ORDER_COL, F.lit(m.version + 1).cast("long"))
+                new_entries = self._write_data(
+                    stamped, f"d{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+                )
+                for e in new_entries:
+                    e["kind"] = "delta"
+                    if e["bucket"] not in changed:
+                        raise RuntimeError(
+                            f"delta commit wrote bucket {e['bucket']} outside changed set"
+                        )
+            return self._publish_epoch_with_rebase(
+                m,
+                epoch_id,
+                new_schema,
+                new_entries,
+                lambda mm, ne: mm.files + ne,
+                "epoch-delta",
             )
-            for e in new_entries:
-                e["kind"] = "delta"
-                if e["bucket"] not in changed:
-                    raise RuntimeError(
-                        f"delta commit wrote bucket {e['bucket']} outside changed set"
-                    )
-        while True:
-            cur_sv = m.current_schema_version
-            schemas = dict(m.schemas)
-            if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
-                cur_sv += 1
-                schemas[str(cur_sv)] = new_schema.jsonValue()
-            for e in new_entries:
-                e["schema_version"] = cur_sv
-            nm = Manifest(
-                version=m.version + 1,
-                key_cols=m.key_cols,
-                n_buckets=m.n_buckets,
-                current_schema_version=cur_sv,
-                schemas=schemas,
-                files=m.files + new_entries,
-                committed_epochs=sorted([*m.committed_epochs, epoch_id]),
-                parent=m.version,
-                properties=m.properties,
-                operation="epoch-delta",
-            )
-            if self._publish(nm):
-                return nm.version
-            m2 = self._rebase_epoch(m.version, epoch_id)
-            if m2 is None:  # another replayer won this epoch: no-op
-                return self.latest_version()
-            m = m2
 
     def overwrite(self, df: DataFrame, epoch_id: int) -> int:
         """Truncate-and-reload fast path (ETLBox UseTruncateMethod,
-        SURVEY.md §4): replace the whole table in one atomic commit."""
+        SURVEY.md §4): replace the whole table in one atomic commit.
+        ``base_version`` pins the manifest the bucket range was derived
+        from — a concurrent rebucket between this read and the commit
+        would otherwise leave the extra buckets' old files live."""
         m = self.manifest()
         if epoch_id in m.committed_epochs:
             return m.version
         all_buckets = list(range(m.n_buckets))
-        return self.commit_buckets(df, all_buckets, epoch_id)
+        return self.commit_buckets(df, all_buckets, epoch_id, base_version=m.version)
 
     def truncate(self, epoch_id: int) -> int:
         """TruncateTableTask analog: new empty snapshot. A lost CAS just
@@ -767,10 +804,10 @@ class LakeTable:
         """
         from ..functions.hashing import bucket_expr
 
-        for _attempt in range(5):
-            m = self.manifest()
-            if new_n_buckets == m.n_buckets:
-                return m.version
+        m = self.manifest()
+        if new_n_buckets == m.n_buckets:
+            return m.version
+        with self._inflight_guard():
             df = self.read(spark, with_bucket=False, version=m.version).withColumn(
                 BUCKET_COL, bucket_expr(new_n_buckets, *m.key_cols)
             )
@@ -794,9 +831,14 @@ class LakeTable:
             )
             if self._publish(nm):
                 return new_ver
-            # lost the CAS: the rewrite is a full recompute, so just
-            # retry against the newer snapshot (orphans → vacuum)
-        raise ConcurrentCommitError("rebucket lost the publish CAS 5 times")
+        # single attempt by design: each retry would be another
+        # full-table rewrite, and against a live ingest stream it would
+        # lose again — pause the writer instead
+        raise ConcurrentCommitError(
+            "rebucket lost the publish CAS to a concurrent commit; pause the "
+            "ingest writer and re-run (a full-table rewrite cannot win "
+            "against a live stream)"
+        )
 
     def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, int]:
         """Fold a bucket's accumulated delta files back into one base file
@@ -818,54 +860,76 @@ class LakeTable:
             if not dirty:
                 return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
             n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
-            # pin the snapshot the fold was computed from — re-resolving
-            # _latest inside read() would race a concurrent epoch commit
-            df = self.read(spark, buckets=dirty, version=m.version)
-            new_ver = m.version + 1
-            entries = self._write_data(
-                df, f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}", m.key_cols
-            )
-            for e in entries:
-                e["schema_version"] = m.current_schema_version
-                if e["bucket"] not in set(dirty):
-                    raise RuntimeError(f"compact wrote bucket {e['bucket']} outside dirty set")
-            keep = [e for e in m.files if e["bucket"] not in set(dirty)]
-            nm = Manifest(
-                version=new_ver,
-                key_cols=m.key_cols,
-                n_buckets=m.n_buckets,
-                current_schema_version=m.current_schema_version,
-                schemas=dict(m.schemas),
-                files=keep + entries,
-                committed_epochs=list(m.committed_epochs),
-                parent=m.version,
-                properties=m.properties,
-                operation="compact",
-            )
-            if self._publish(nm):
-                return {
-                    "buckets_compacted": len(dirty),
-                    "files_before": n_before,
-                    "files_after": len(entries),
-                }
+            with self._inflight_guard():
+                # pin the snapshot the fold was computed from —
+                # re-resolving _latest inside read() would race a
+                # concurrent epoch commit
+                df = self.read(spark, buckets=dirty, version=m.version)
+                new_ver = m.version + 1
+                entries = self._write_data(
+                    df, f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}", m.key_cols
+                )
+                for e in entries:
+                    e["schema_version"] = m.current_schema_version
+                    if e["bucket"] not in set(dirty):
+                        raise RuntimeError(
+                            f"compact wrote bucket {e['bucket']} outside dirty set"
+                        )
+                keep = [e for e in m.files if e["bucket"] not in set(dirty)]
+                nm = Manifest(
+                    version=new_ver,
+                    key_cols=m.key_cols,
+                    n_buckets=m.n_buckets,
+                    current_schema_version=m.current_schema_version,
+                    schemas=dict(m.schemas),
+                    files=keep + entries,
+                    committed_epochs=list(m.committed_epochs),
+                    parent=m.version,
+                    properties=m.properties,
+                    operation="compact",
+                )
+                if self._publish(nm):
+                    return {
+                        "buckets_compacted": len(dirty),
+                        "files_before": n_before,
+                        "files_after": len(entries),
+                    }
             # lost the CAS to a concurrent commit (an ingest epoch may
             # have appended newer deltas to these buckets): the folded
             # output is stale — recompute from the new snapshot
         raise ConcurrentCommitError("compact lost the publish CAS 5 times")
 
-    def vacuum(self, keep_versions: int = 1, grace_s: float = 0.0) -> dict[str, int]:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        grace_s: float = 0.0,
+        inflight_max_age_s: float = 86400.0,
+    ) -> dict[str, int]:
         """Delete data files referenced only by manifests older than the
         newest ``keep_versions`` (Iceberg expire_snapshots + orphan-file
         removal). Time travel remains possible within the kept window.
         Returns {files_deleted, manifests_deleted, bytes_freed}.
 
-        Concurrency: the table is single-writer, but a vacuum racing an
-        in-flight commit (between _write_data and _publish) must not
-        delete the just-written uncommitted directory. Files whose mtime
-        is at or after the latest manifest's mtime minus ``grace_s`` are
-        therefore skipped (Iceberg's orphan-removal grace window); they
-        become eligible once a newer manifest lands or after the next
-        vacuum. Run vacuum from the writer process when possible."""
+        Concurrency: a vacuum racing an in-flight commit (between
+        _write_data and _publish) must not delete the just-written
+        uncommitted files. Two guards: (1) files whose mtime is at or
+        after the latest manifest's mtime minus ``grace_s`` are skipped
+        (Iceberg's orphan-removal grace window); (2) every commit holds
+        an ``_inflight.*`` marker for its write→publish span, and the
+        deletion cutoff is floored at the oldest live marker's mtime —
+        without this, a concurrent *compact* publishing mid-epoch would
+        advance the latest manifest's mtime past the epoch writer's
+        already-written data files and guard (1) alone would reclaim
+        them. Markers older than ``inflight_max_age_s`` are crashed
+        writers' leftovers: swept, so they can't block vacuum forever.
+
+        Readers pinned to an expired snapshot (e.g. a long job that
+        called ``read(version=...)`` on a version outside the kept
+        window) fail LOUDLY at scan time once its files are reclaimed —
+        retention must cover the longest reader, exactly Iceberg's
+        expire_snapshots contract; there is no silent-wrong-data arm."""
+        import time as _time
+
         latest = self.latest_version()
         keep = set(range(max(0, latest - keep_versions + 1), latest + 1))
         referenced: set[str] = set()
@@ -875,6 +939,20 @@ class LakeTable:
         cutoff = (
             os.path.getmtime(os.path.join(self._meta_dir, f"v{latest}.json")) - grace_s
         )
+        now = _time.time()
+        for fn in os.listdir(self._meta_dir):
+            if not fn.startswith("_inflight."):
+                continue
+            p = os.path.join(self._meta_dir, fn)
+            try:
+                mt = os.path.getmtime(p)
+            except OSError:
+                continue  # marker removed between listdir and stat
+            if now - mt > inflight_max_age_s:
+                with contextlib.suppress(OSError):
+                    os.remove(p)
+                continue
+            cutoff = min(cutoff, mt)
         stats = {"files_deleted": 0, "manifests_deleted": 0, "bytes_freed": 0}
         for dirpath, _dirs, files in os.walk(self._data_dir):
             for fn in files:
@@ -888,6 +966,13 @@ class LakeTable:
                 try:
                     v = int(fn[1:-5])
                 except ValueError:
+                    # crashed-publish temp files (v{N}.json.tmp.*) age
+                    # out with the same cutoff as data files
+                    if ".json.tmp." in fn:
+                        p = os.path.join(self._meta_dir, fn)
+                        with contextlib.suppress(OSError):
+                            if os.path.getmtime(p) < cutoff:
+                                os.remove(p)
                     continue
                 if v not in keep:
                     os.remove(os.path.join(self._meta_dir, fn))

@@ -194,6 +194,78 @@ def test_threaded_ingest_vs_compaction_loop(spark, tmp_path):
     assert _state(spark, t) == FINAL
 
 
+def test_vacuum_spares_inflight_commit_under_concurrent_compact(spark, tmp_path, monkeypatch):
+    """The lost-update arm vacuum alone can't see: an epoch's data files
+    are written (unreferenced), then a concurrent compact publishes —
+    advancing the latest manifest's mtime PAST them — and a vacuum with
+    zero grace runs before the epoch's manifest lands. The in-flight
+    marker must floor the cutoff so the epoch's files survive."""
+    t = _mk(tmp_path, "t")
+    _apply(spark, t, EPOCHS[0], 0)
+    _apply(spark, t, EPOCHS[1], 1)  # deltas for the compact to fold
+
+    real = LT._publish
+    state = {"armed": True}
+
+    def racing(self, m):
+        if m.operation.startswith("epoch") and state["armed"]:
+            state["armed"] = False
+            self.compact(spark)
+            self.vacuum(keep_versions=1, grace_s=0.0)
+        return real(self, m)
+
+    monkeypatch.setattr(LT, "_publish", racing)
+    _apply(spark, t, EPOCHS[2], 2)
+    assert not state["armed"]
+    # the scan proves the files survived; the values prove correctness
+    assert _state(spark, t) == FINAL
+
+
+def test_vacuum_sweeps_stale_inflight_markers(spark, tmp_path):
+    import os
+
+    t = _mk(tmp_path, "t")
+    _apply(spark, t, EPOCHS[0], 0)
+    meta = str(tmp_path / "t" / "meta")
+    marker = os.path.join(meta, "_inflight.deadbeef")
+    with open(marker, "w"):
+        pass
+    os.utime(marker, (1, 1))  # a crashed writer from long ago
+    t.vacuum(keep_versions=1, inflight_max_age_s=3600.0)
+    assert not os.path.exists(marker), "stale marker must not block vacuum forever"
+
+
+def test_overwrite_detects_concurrent_rebucket(spark, tmp_path, monkeypatch):
+    """overwrite derives its bucket range from a pinned manifest; a
+    rebucket landing before the commit would leave the extra buckets'
+    files live — it must conflict, not silently keep stale rows."""
+    t = _mk(tmp_path, "t", mor=False)
+    _apply(spark, t, EPOCHS[0], 0)
+
+    real_commit = LT.commit_buckets
+    state = {"armed": True}
+
+    def racing_commit(self, df, changed, epoch_id, new_schema=None, base_version=None):
+        if state["armed"]:
+            state["armed"] = False
+            self.rebucket(spark, 8)
+        return real_commit(
+            self, df, changed, epoch_id, new_schema=new_schema, base_version=base_version
+        )
+
+    monkeypatch.setattr(LT, "commit_buckets", racing_commit)
+    from etlbox_spark.engine import BUCKET_COL
+    from etlbox_spark.functions.hashing import bucket_expr
+
+    repl = spark.createDataFrame(
+        [("r9", "p9", "c9", "py", "z")], REPO_FILES_SCHEMA
+    ).withColumn(BUCKET_COL, bucket_expr(8, "repo", "path"))
+    with pytest.raises(ConcurrentCommitError):
+        t.overwrite(repl, 5)
+    assert not state["armed"]
+    assert t.manifest().n_buckets == 8  # rebucket won; overwrite aborted
+
+
 def test_history_records_operations(spark, tmp_path):
     t = _mk(tmp_path, "t")
     _apply(spark, t, EPOCHS[0], 0)
