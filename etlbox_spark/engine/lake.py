@@ -477,16 +477,43 @@ class LakeTable:
 
     # --------------------------------------------------------------- write
     def _write_data(
-        self, df: DataFrame, commit_dir_name: str, key_cols: list[str]
+        self,
+        df: DataFrame,
+        commit_dir_name: str,
+        key_cols: list[str],
+        properties: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """Write rows (must carry BUCKET_COL) under data/<commit_dir>/,
         one directory per bucket; return manifest file entries with
         per-file row counts and min/max key-hash stats (from the parquet
-        footers the rows-count pass already opens — free)."""
+        footers the rows-count pass already opens — free).
+
+        Table property ``write.sort.cols`` orders rows WITHIN each bucket
+        file (a per-partition sort — no extra shuffle): buckets are
+        key-HASH partitioned, so without it one repo's rows scatter
+        unordered through every bucket and parquet row-group stats can
+        prune nothing. Default = the key columns (key-range predicates
+        skip row groups in every file); ``"khash"`` instead clusters by
+        key hash so the pushed ``__khash IN`` point-probe filter lands
+        on ~one row group per file (pick it for lookup-dominated MoR
+        tables); ``"none"`` disables; any comma-separated column list
+        works (Iceberg sort-order analog). ``write.parquet.block.size``
+        sets the row-group size in bytes — the pruning granularity."""
         from ..functions.hashing import key_hash
 
+        props = properties or {}
+        spec = str(props.get("write.sort.cols", "")).strip()
+        if spec == "none":
+            sort_cols: list[str] = []
+        elif spec == "khash":
+            sort_cols = [KHASH_COL]
+        elif spec:
+            sort_cols = [c.strip() for c in spec.split(",")]
+        else:
+            sort_cols = list(key_cols)
+
         out = os.path.join(self._data_dir, commit_dir_name)
-        (
+        staged = (
             # range-partition on bucket: ~one reducer per bucket (hash
             # repartition collides buckets onto shared reducers, leaving
             # stragglers + idle slots), so partitionBy emits one file per
@@ -494,14 +521,22 @@ class LakeTable:
             df.withColumn(KHASH_COL, key_hash(*key_cols))
             .withColumn(_WRITE_PARTITION_COL, F.col(BUCKET_COL))
             .repartitionByRange(F.col(BUCKET_COL))
+        )
+        if sort_cols:
+            # leading partition col satisfies the file writer's required
+            # ordering, so this one sort replaces (not stacks on) the
+            # writer's own dynamic-partition sort
+            staged = staged.sortWithinPartitions(_WRITE_PARTITION_COL, *sort_cols)
+        writer = (
             # overwrite: until the manifest references this directory it
             # is garbage by definition, and a crashed attempt leaves one
             # behind — error-if-exists would make the RETRY of a failed
             # epoch fail (found by tests/test_crash_injection.py)
-            .write.mode("overwrite")
-            .partitionBy(_WRITE_PARTITION_COL)
-            .parquet(out)
+            staged.write.mode("overwrite").partitionBy(_WRITE_PARTITION_COL)
         )
+        if props.get("write.parquet.block.size"):
+            writer = writer.option("parquet.block.size", str(props["write.parquet.block.size"]))
+        writer.parquet(out)
         entries: list[dict[str, Any]] = []
         for d in sorted(os.listdir(out)):
             if not d.startswith(f"{_WRITE_PARTITION_COL}="):
@@ -668,7 +703,10 @@ class LakeTable:
                 # colliding in one directory; a losing attempt's
                 # directory is an orphan for vacuum
                 new_entries = self._write_data(
-                    df, f"c{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+                    df,
+                    f"c{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}",
+                    m.key_cols,
+                    properties=m.properties,
                 )
                 for e in new_entries:
                     if e["bucket"] not in changed:
@@ -737,7 +775,10 @@ class LakeTable:
                 # version + 1 > this stamp).
                 stamped = df.withColumn(MOR_ORDER_COL, F.lit(m.version + 1).cast("long"))
                 new_entries = self._write_data(
-                    stamped, f"d{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}", m.key_cols
+                    stamped,
+                    f"d{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}",
+                    m.key_cols,
+                    properties=m.properties,
                 )
                 for e in new_entries:
                     e["kind"] = "delta"
@@ -813,7 +854,10 @@ class LakeTable:
             )
             new_ver = m.version + 1
             entries = self._write_data(
-                df, f"rebucket-v{new_ver}-{uuid.uuid4().hex[:6]}", m.key_cols
+                df,
+                f"rebucket-v{new_ver}-{uuid.uuid4().hex[:6]}",
+                m.key_cols,
+                properties=m.properties,
             )
             for e in entries:
                 e["schema_version"] = m.current_schema_version
@@ -867,7 +911,10 @@ class LakeTable:
                 df = self.read(spark, buckets=dirty, version=m.version)
                 new_ver = m.version + 1
                 entries = self._write_data(
-                    df, f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}", m.key_cols
+                    df,
+                    f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}",
+                    m.key_cols,
+                    properties=m.properties,
                 )
                 for e in entries:
                     e["schema_version"] = m.current_schema_version

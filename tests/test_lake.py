@@ -272,3 +272,93 @@ def test_manifest_khash_stats_and_point_lookup_pruning(spark, tmp_path):
     # one-element isin compiles to EqualTo; multi-element to In
     assert "PushedFilters: [Or(IsNull(__khash)" in plan
     assert f"EqualTo(__khash,{h})" in plan or "In(__khash" in plan
+
+
+def test_sorted_within_bucket_makes_rowgroup_stats_selective(spark, tmp_path):
+    """write.sort.cols (default: the key columns) orders rows inside each
+    bucket file, so parquet row-group stats prune key-range predicates —
+    buckets are key-HASH partitioned, so without the sort one repo's rows
+    scatter unordered through every file and stats prune nothing.
+    write.parquet.block.size sets the pruning granularity."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    t = LakeTable.create(
+        str(tmp_path / "s"),
+        REPO_FILES_SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"write.parquet.block.size": 16384},
+    )
+    rows = [(f"r{i % 50:02d}", f"p{i:05d}", "c", "py", "x" * 64) for i in range(20000)]
+    t.commit_buckets(_rows_df(spark, rows, 2), [0, 1], epoch_id=0)
+    m = t.manifest()
+    fpath = os.path.join(str(tmp_path / "s"), m.files[0]["path"])
+    md = pq_.ParquetFile(fpath).metadata
+    assert md.num_row_groups >= 2, "block.size knob produced a single row group"
+
+    def col_ranges(name):
+        out = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                if col.path_in_schema == name:
+                    st = col.statistics
+                    out.append((st.min, st.max))
+        return out
+
+    ranges = col_ranges("repo")
+    assert len(ranges) == md.num_row_groups
+    for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, "row groups not key-ordered"
+    # a single-repo predicate touches only a contiguous minority of groups
+    hit = sum(1 for lo, hi in ranges if lo <= "r03" <= hi)
+    assert hit < md.num_row_groups
+
+
+def test_khash_sort_clusters_point_probes_to_one_rowgroup(spark, tmp_path):
+    """write.sort.cols=khash clusters rows by key hash, so the pushed
+    __khash IN (...) point-probe filter lands on ~one row group per
+    surviving file instead of scanning all of them."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from etlbox_spark.functions.hashing import key_hash
+
+    t = LakeTable.create(
+        str(tmp_path / "kh2"),
+        REPO_FILES_SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"write.sort.cols": "khash", "write.parquet.block.size": 16384},
+    )
+    rows = [(f"r{i % 50:02d}", f"p{i:05d}", "c", "py", "x" * 64) for i in range(20000)]
+    t.commit_buckets(_rows_df(spark, rows, 2), [0, 1], epoch_id=0)
+    m = t.manifest()
+    fpath = os.path.join(str(tmp_path / "kh2"), m.files[0]["path"])
+    md = pq_.ParquetFile(fpath).metadata
+    assert md.num_row_groups >= 2
+
+    kranges = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            if col.path_in_schema == "__khash":
+                st = col.statistics
+                kranges.append((st.min, st.max))
+    for (_, a_max), (b_min, _) in zip(kranges, kranges[1:]):
+        assert a_max <= b_min, "row groups not khash-ordered"
+
+    # a key stored in this file hits exactly one row group's range
+    import pyarrow.parquet as pq_read
+
+    sample = pq_read.read_table(fpath, columns=["repo", "path"]).slice(0, 1).to_pylist()[0]
+    h = int(
+        spark.createDataFrame([(sample["repo"], sample["path"])], "repo string, path string")
+        .select(key_hash("repo", "path"))
+        .collect()[0][0]
+    )
+    assert sum(1 for lo, hi in kranges if lo <= h <= hi) == 1
+    # content identical to an unsorted table (sorting is layout-only)
+    got = {(r.repo, r.path) for r in t.read(spark).collect()}
+    assert got == {(r[0], r[1]) for r in rows}
