@@ -91,6 +91,40 @@ class ConcurrentCommitError(RuntimeError):
     re-running the losing job against the new snapshot is always safe."""
 
 
+def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None:
+    """Fail fast on a property the write path would choke on LATER (a
+    typo'd sort column otherwise surfaces as an AnalysisException deep
+    inside the next epoch commit). ``write.*`` / ``compact.*`` are
+    reserved engine namespaces — unknown keys there are almost certainly
+    typos and raise; anything else is free-form user metadata."""
+    known = {
+        "write.mode",
+        "write.sort.cols",
+        "write.parquet.block.size",
+        "compact.max.deltas.per.bucket",
+    }
+    for k, v in props.items():
+        if (k.startswith("write.") or k.startswith("compact.")) and k not in known:
+            raise ValueError(f"unknown engine table property {k!r} (known: {sorted(known)})")
+        if k == "write.mode" and v not in ("cow", "mor"):
+            raise ValueError(f"write.mode must be 'cow' or 'mor', got {v!r}")
+        if k == "write.sort.cols":
+            spec = str(v).strip()
+            if spec not in ("none", "khash"):
+                for c in (c.strip() for c in spec.split(",")):
+                    if c not in schema_names:
+                        raise ValueError(
+                            f"write.sort.cols column {c!r} not in table schema {schema_names}"
+                        )
+        if k in ("write.parquet.block.size", "compact.max.deltas.per.bucket"):
+            try:
+                n = int(v)
+            except (TypeError, ValueError):
+                raise ValueError(f"{k} must be an integer, got {v!r}") from None
+            if n < 0 or (k == "write.parquet.block.size" and n == 0):
+                raise ValueError(f"{k} must be positive, got {v!r}")
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -231,6 +265,7 @@ class LakeTable:
         for k in key_cols:
             if k not in schema.names:
                 raise ValueError(f"key column {k!r} not in schema")
+        _validate_properties(properties or {}, list(schema.names))
         t = LakeTable(root)
         if t.exists():
             raise FileExistsError(f"table already exists at {root}")
@@ -580,13 +615,14 @@ class LakeTable:
         rows were derived from (lost the publish CAS, or a concurrent
         commit landed between the classify read and the commit): decide
         whether it can rebase. Safe iff every intervening commit is a
-        ``compact`` — compaction never changes logical content, so rows
-        classified against ``base_version``'s snapshot are still exact
-        (and n_buckets/schema are untouched by construction). Anything
-        else (another epoch writer, rebucket, truncate) invalidates the
-        derived rows → raise loudly instead of publishing a silent lost
-        update. Returns None when another replayer already committed
-        this very epoch (idempotent race)."""
+        logical no-op for table CONTENT: ``compact`` (rewrites what
+        read() already merges) or ``set_properties`` (metadata only) —
+        rows classified against ``base_version``'s snapshot are still
+        exact, and n_buckets/schema are untouched by construction.
+        Anything else (another epoch writer, rebucket, truncate)
+        invalidates the derived rows → raise loudly instead of
+        publishing a silent lost update. Returns None when another
+        replayer already committed this very epoch (idempotent race)."""
         m2 = self.manifest()
         if epoch_id in m2.committed_epochs:
             return None
@@ -597,7 +633,7 @@ class LakeTable:
                 raise ConcurrentCommitError(
                     f"cannot verify intervening commit v{v} (already vacuumed?)"
                 ) from e
-            if op != "compact":
+            if op not in ("compact", "set_properties"):
                 raise ConcurrentCommitError(
                     f"concurrent {op!r} commit at v{v} conflicts with epoch "
                     f"{epoch_id} derived from snapshot v{base_version}; the "
@@ -825,6 +861,51 @@ class LakeTable:
                 parent=m.version,
                 properties=m.properties,
                 operation="truncate",
+            )
+            if self._publish(nm):
+                return nm.version
+
+    def set_properties(
+        self, props: dict[str, Any] | None = None, unset: list[str] | None = None
+    ) -> int:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES analog: publish a new
+        manifest version whose properties merge ``props`` over the
+        current ones (``unset`` removes keys). Metadata-only — no data
+        files move; the NEXT write (epoch commit, compact, rebucket)
+        picks the new values up. The operational lever this exists for:
+        switch ``write.sort.cols`` to ``"khash"`` when a table turns
+        lookup-dominated, retune ``write.parquet.block.size`` (pruning
+        granularity) or ``compact.max.deltas.per.bucket`` as the
+        read/write cost ratio drifts — each takes effect incrementally
+        as commits rewrite buckets, with ``compact()`` available to
+        re-layout eagerly.
+
+        Values are validated here, not at the next write (a typo'd sort
+        column must not fail an ingest epoch hours later). Commutes with
+        every concurrent commit, so a lost CAS re-reads and retries —
+        like truncate, it serializes last; a concurrent epoch commit
+        rebases across it (its already-written files keep the OLD
+        layout — correct data, re-laid-out at the next rewrite)."""
+        while True:
+            m = self.manifest()
+            new_props = dict(m.properties)
+            new_props.update(props or {})
+            for k in unset or []:
+                new_props.pop(k, None)
+            _validate_properties(new_props, list(m.schema().names))
+            if new_props == m.properties:
+                return m.version  # no-op: don't burn a version
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=m.current_schema_version,
+                schemas=dict(m.schemas),
+                files=list(m.files),
+                committed_epochs=list(m.committed_epochs),
+                parent=m.version,
+                properties=new_props,
+                operation="set_properties",
             )
             if self._publish(nm):
                 return nm.version

@@ -43,6 +43,17 @@ def truncate_table_task(root: str, epoch_id: int) -> int:
     return LakeTable.load(root).truncate(epoch_id)
 
 
+def alter_table_properties_task(
+    root: str, props: dict | None = None, unset: list[str] | None = None
+) -> int:
+    """CreateTableTask.Alter analog, scoped to the properties the lake
+    actually honors (ALTER TABLE SET/UNSET TBLPROPERTIES): retune write
+    layout (``write.sort.cols``, ``write.parquet.block.size``), commit
+    strategy (``write.mode``) or compaction policy on a LIVE table —
+    metadata-only commit, next write picks it up. Returns the version."""
+    return LakeTable.load(root).set_properties(props, unset=unset)
+
+
 def create_view_task(spark: SparkSession, root: str, view_name: str) -> DataFrame:
     """CreateViewTask: register the current snapshot as a temp view so
     SqlTask-style SQL can address it."""

@@ -362,3 +362,99 @@ def test_khash_sort_clusters_point_probes_to_one_rowgroup(spark, tmp_path):
     # content identical to an unsorted table (sorting is layout-only)
     got = {(r.repo, r.path) for r in t.read(spark).collect()}
     assert got == {(r[0], r[1]) for r in rows}
+
+def test_set_properties_validates_and_records_history(spark, tmp_path):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES analog: values validated at
+    set time (a typo'd sort column must not fail an ingest epoch later),
+    metadata-only version bump, visible in history()."""
+    with pytest.raises(ValueError):  # typo in a reserved namespace
+        LakeTable.create(
+            str(tmp_path / "bad1"), REPO_FILES_SCHEMA, ["repo", "path"], 2,
+            properties={"write.sortcols": "repo"},
+        )
+    with pytest.raises(ValueError):  # sort column not in schema
+        LakeTable.create(
+            str(tmp_path / "bad2"), REPO_FILES_SCHEMA, ["repo", "path"], 2,
+            properties={"write.sort.cols": "repo,nope"},
+        )
+    t = _mk(tmp_path)
+    v0 = t.latest_version()
+    with pytest.raises(ValueError):
+        t.set_properties({"write.mode": "sideways"})
+    with pytest.raises(ValueError):
+        t.set_properties({"write.parquet.block.size": "big"})
+    assert t.latest_version() == v0  # failed set published nothing
+
+    v1 = t.set_properties({"write.sort.cols": "khash", "owner": "teamX"})
+    assert v1 == v0 + 1
+    assert t.manifest().properties == {"write.sort.cols": "khash", "owner": "teamX"}
+    assert t.history()[0]["operation"] == "set_properties"
+    # no-op set does not burn a version
+    assert t.set_properties({"write.sort.cols": "khash"}) == v1
+    # unset returns to defaults
+    v2 = t.set_properties(unset=["write.sort.cols"])
+    assert v2 == v1 + 1 and t.manifest().properties == {"owner": "teamX"}
+
+
+def test_set_properties_relayout_applies_to_next_commit(spark, tmp_path):
+    """Switching write.sort.cols to khash on a live table re-lays-out
+    buckets incrementally: the NEXT CoW rewrite of a bucket emits
+    khash-ordered row groups; files written before keep the old order."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    t = LakeTable.create(
+        str(tmp_path / "alter"),
+        REPO_FILES_SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"write.parquet.block.size": 16384},  # default key sort
+    )
+    rows = [(f"r{i % 50:02d}", f"p{i:05d}", "c", "py", "x" * 64) for i in range(20000)]
+    t.commit_buckets(_rows_df(spark, rows, 2), [0, 1], epoch_id=0)
+
+    def khash_ranges(fpath):
+        md = pq_.ParquetFile(fpath).metadata
+        out = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                if col.path_in_schema == "__khash":
+                    st = col.statistics
+                    out.append((st.min, st.max))
+        return out
+
+    before = khash_ranges(os.path.join(str(tmp_path / "alter"), t.manifest().files[0]["path"]))
+    assert len(before) >= 2
+    assert any(a_max > b_min for (_, a_max), (b_min, _) in zip(before, before[1:])), (
+        "key-sorted file unexpectedly khash-ordered — fixture too small?"
+    )
+
+    t.set_properties({"write.sort.cols": "khash"})
+    t.commit_buckets(_rows_df(spark, rows, 2), [0, 1], epoch_id=1)  # CoW rewrite
+    for e in t.manifest().files:
+        after = khash_ranges(os.path.join(str(tmp_path / "alter"), e["path"]))
+        assert len(after) >= 2
+        for (_, a_max), (b_min, _) in zip(after, after[1:]):
+            assert a_max <= b_min, "post-alter rewrite not khash-ordered"
+    got = {(r.repo, r.path) for r in t.read(spark).collect()}
+    assert got == {(r[0], r[1]) for r in rows}
+
+
+def test_epoch_commit_rebases_across_set_properties(spark, tmp_path):
+    """set_properties is metadata-only, so an epoch commit whose classify
+    snapshot it outran rebases across it (like compact) — and the rebased
+    commit carries the NEW properties forward instead of reverting them."""
+    t = _mk(tmp_path)
+    df0 = _rows_df(spark, [("r0", "p1", "c1", "py", "A")])
+    buckets = [r[0] for r in df0.select(BUCKET_COL).distinct().collect()]
+    t.commit_buckets(df0, buckets, epoch_id=0)
+    base = t.manifest().version
+    df1 = _rows_df(spark, [("r0", "p1", "c2", "py", "B")])
+    t.set_properties({"write.sort.cols": "khash"})  # lands mid-transaction
+    v = t.commit_buckets(df1, buckets, epoch_id=1, base_version=base)
+    m = t.manifest()
+    assert v == m.version and 1 in m.committed_epochs
+    assert m.properties == {"write.sort.cols": "khash"}  # not reverted
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {("r0", "p1", "B")}

@@ -53,6 +53,17 @@ def test_truncate_then_row_count(spark, tmp_path):
     assert row_count_task(t.root) == 0
 
 
+def test_alter_table_properties(spark, tmp_path):
+    from etlbox_spark.tasks import alter_table_properties_task
+
+    t = _seeded(spark, tmp_path)
+    v = alter_table_properties_task(t.root, {"write.sort.cols": "khash"})
+    assert t.manifest().properties["write.sort.cols"] == "khash"
+    assert alter_table_properties_task(t.root, unset=["write.sort.cols"]) == v + 1
+    assert "write.sort.cols" not in t.manifest().properties
+    assert row_count_task(t.root) == 3  # metadata-only: data untouched
+
+
 def test_sql_over_view(spark, tmp_path):
     t = _seeded(spark, tmp_path)
     create_view_task(spark, t.root, "repo_files_v")
