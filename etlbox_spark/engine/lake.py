@@ -910,6 +910,85 @@ class LakeTable:
             if self._publish(nm):
                 return nm.version
 
+    def rollback(self, to_version: int) -> int:
+        """RESTORE TABLE ... VERSION AS OF analog (Delta RESTORE /
+        Iceberg rollback): publish a NEW manifest whose content — files,
+        schema history, bucket layout and ``committed_epochs`` — is that
+        of retained snapshot ``to_version``. Metadata-only: no data
+        moves, the old snapshot's files are re-referenced (so vacuum's
+        retention window bounds how far back a rollback can reach, and
+        the referenced files are checked to still exist up front).
+
+        This is the CDC bad-epoch escape hatch: a poisoned upstream
+        epoch lands → ``rollback`` to the pre-epoch version → re-replay.
+        Reverting ``committed_epochs`` with the content is what makes
+        the re-replay exactly-once-correct: rolled-back epochs re-apply
+        (they are no longer marked), while epochs at or before the
+        target stay no-ops. History is never rewritten — rollback is a
+        forward commit (``operation="rollback"``), so time travel and
+        the audit trail keep the bad epochs visible.
+
+        Current table *properties* are KEPT (operational tuning like
+        ``write.sort.cols`` is orthogonal to content and reverting it
+        as a side effect would surprise the operator). Downstream
+        change-feed consumers that already drained a rolled-back epoch
+        are beyond this table's control — exactly Delta's RESTORE + CDF
+        caveat; the re-applied epoch rewrites its ``epoch=N`` log dir
+        for fresh consumers.
+
+        Concurrency: like ``truncate`` it serializes last (a lost CAS
+        re-reads and retries — rollback's statement wins over whatever
+        landed in between, by operator intent); a concurrent epoch
+        commit racing it conflicts via ``_rebase_epoch`` ("rollback" is
+        not a logical no-op) rather than silently landing on the
+        rolled-back state."""
+        try:
+            tgt = self.manifest(to_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {to_version} does not exist or is not retained "
+                "(vacuumed?) — rollback can only reach snapshots inside "
+                "the vacuum window"
+            ) from None
+        missing = [
+            e["path"]
+            for e in tgt.files
+            if not os.path.exists(os.path.join(self.root, e["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot rollback to v{to_version}: {len(missing)} data "
+                f"file(s) already reclaimed, e.g. {missing[0]!r}"
+            )
+        while True:
+            m = self.manifest()
+            if (
+                m.version == to_version
+                or (
+                    m.files == tgt.files
+                    and m.committed_epochs == tgt.committed_epochs
+                    and m.current_schema_version == tgt.current_schema_version
+                    and m.n_buckets == tgt.n_buckets
+                )
+            ):
+                # already at (or content-identical to) the target — a
+                # retried rollback must not burn versions
+                return m.version
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=tgt.key_cols,
+                n_buckets=tgt.n_buckets,
+                current_schema_version=tgt.current_schema_version,
+                schemas=dict(tgt.schemas),
+                files=list(tgt.files),
+                committed_epochs=list(tgt.committed_epochs),
+                parent=m.version,
+                properties=dict(m.properties),
+                operation="rollback",
+            )
+            if self._publish(nm):
+                return nm.version
+
     # -------------------------------------------------------- maintenance
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Change the key-hash bucket count (layout evolution).

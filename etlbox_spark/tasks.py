@@ -54,6 +54,14 @@ def alter_table_properties_task(
     return LakeTable.load(root).set_properties(props, unset=unset)
 
 
+def rollback_table_task(root: str, to_version: int) -> int:
+    """RESTORE TABLE ... VERSION AS OF analog: metadata-only commit that
+    re-references snapshot ``to_version``'s files, schema AND epoch
+    markers — the bad-epoch escape hatch (rolled-back epochs re-apply on
+    the next replay, earlier epochs stay no-ops). Returns the version."""
+    return LakeTable.load(root).rollback(to_version)
+
+
 def create_view_task(spark: SparkSession, root: str, view_name: str) -> DataFrame:
     """CreateViewTask: register the current snapshot as a temp view so
     SqlTask-style SQL can address it."""

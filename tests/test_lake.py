@@ -458,3 +458,48 @@ def test_epoch_commit_rebases_across_set_properties(spark, tmp_path):
     assert m.properties == {"write.sort.cols": "khash"}  # not reverted
     got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
     assert got == {("r0", "p1", "B")}
+
+
+def test_rollback_restores_snapshot_and_epoch_markers(spark, tmp_path):
+    """RESTORE TABLE analog: content, schema AND epoch markers revert to
+    the target snapshot (so a rolled-back epoch re-applies), current
+    properties are kept, history records a forward 'rollback' commit."""
+    t = _mk(tmp_path)
+    all_b = lambda df: [r[0] for r in df.select(BUCKET_COL).distinct().collect()]  # noqa: E731
+    df0 = _rows_df(spark, [("r0", "p1", "c1", "py", "A"), ("r1", "p1", "c1", "py", "X")])
+    t.commit_buckets(df0, all_b(df0), epoch_id=0)
+    good_v = t.latest_version()
+    df1 = _rows_df(spark, [("r0", "p1", "c2", "py", "GARBAGE")])
+    t.commit_buckets(df1, all_b(df1), epoch_id=1)  # the poisoned epoch
+    t.set_properties({"write.sort.cols": "khash"})  # tuning landed after
+
+    v = t.rollback(good_v)
+    m = t.manifest()
+    assert v == m.version and m.operation == "rollback"
+    assert m.committed_epochs == [0]  # epoch 1 unmarked -> re-applies
+    assert m.properties == {"write.sort.cols": "khash"}  # tuning kept
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {("r0", "p1", "A"), ("r1", "p1", "X")}
+    # a retried rollback is a no-op, not another version
+    assert t.rollback(good_v) == v
+    assert t.history()[0]["operation"] == "rollback"
+    # the corrected epoch 1 now re-applies instead of no-opping
+    df1b = _rows_df(spark, [("r0", "p1", "c2", "py", "B")])
+    t.commit_buckets(df1b, all_b(df1b), epoch_id=1)
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {("r0", "p1", "B"), ("r1", "p1", "X")}
+
+
+def test_rollback_refuses_unretained_target(spark, tmp_path):
+    """Rollback can only reach snapshots inside the vacuum window —
+    a reclaimed target fails loudly instead of publishing a manifest
+    that references deleted files."""
+    t = _mk(tmp_path)
+    for e in range(3):
+        df = _rows_df(spark, [("r0", "p1", f"c{e}", "py", f"V{e}")])
+        t.commit_buckets(
+            df, [r[0] for r in df.select(BUCKET_COL).distinct().collect()], epoch_id=e
+        )
+    t.vacuum(keep_versions=1)
+    with pytest.raises(ValueError):
+        t.rollback(1)

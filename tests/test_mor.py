@@ -204,3 +204,24 @@ def test_auto_compaction_policy_bounds_delta_files(spark, tmp_path):
         else:
             state[(r.repo, r.path)] = r.content
     assert _state(spark, t) == state
+
+
+def test_rollback_restores_mor_delta_state(spark, tmp_path):
+    """Rollback re-references delta entries verbatim: rolling a MoR table
+    back to a mid-stream snapshot restores the read-merged state of that
+    snapshot (base + the deltas live at that version), and the rolled-back
+    epoch re-applies afterwards to converge on the straight-through run."""
+    t = _mk(tmp_path, "mor_rb", True)
+    for i, rows in enumerate(EPOCHS[:2]):
+        _apply(spark, t, rows, i)
+    mid_v = t.latest_version()
+    mid = _state(spark, t)
+    _apply(spark, t, EPOCHS[2], 2)
+    assert _state(spark, t) == FINAL
+
+    t.rollback(mid_v)
+    assert _state(spark, t) == mid
+    assert any(e.get("kind") == "delta" for e in t.manifest().files)
+    r = _apply(spark, t, EPOCHS[2], 2)  # re-applies, not skipped
+    assert not r.skipped
+    assert _state(spark, t) == FINAL

@@ -81,3 +81,28 @@ def test_epoch_listing(spark, tmp_path):
     ev_dir = str(tmp_path / "events")
     write_events(gen_events(spark, n_events=2500, epoch_size=1000), ev_dir)
     assert list_epochs(ev_dir) == [0, 1, 2]
+
+
+def test_rollback_bad_epoch_then_replay_converges(spark, tmp_path):
+    """The CDC bad-epoch escape hatch: epochs 2-3 turn out poisoned ->
+    rollback to the post-epoch-1 snapshot -> re-replay. The reverted
+    epoch markers make the re-replay exactly-once-correct: 0-1 no-op,
+    2-3 re-apply, and the final state equals the straight-through run
+    (and the pure-Python oracle)."""
+    ev_dir = str(tmp_path / "events")
+    write_events(
+        gen_events(spark, n_events=2000, n_repos=10, paths_per_repo=30, epoch_size=500),
+        ev_dir,
+    )
+    t = LakeTable.create(str(tmp_path / "lake"), REPO_FILES_SCHEMA, ["repo", "path"], 8)
+    spec = MergeSpec()
+    res = replay(spark, t, ev_dir, spec, MergeMode.DELTA)
+    good_v = res[1].version  # snapshot right after epoch 1
+    final = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+
+    t.rollback(good_v)
+    assert t.manifest().committed_epochs == [0, 1]
+    res2 = replay(spark, t, ev_dir, spec, MergeMode.DELTA)
+    assert [r.skipped for r in res2] == [True, True, False, False]
+    snap = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+    assert snap == final == _oracle(ev_dir)

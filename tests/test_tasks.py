@@ -88,3 +88,14 @@ def test_load_process_journal(tmp_path):
     ]
     assert lp2.entries()[1]["rows_out"] == 98
     assert lp2.entries()[1]["duration_s"] is not None
+
+
+def test_rollback_table_task(spark, tmp_path):
+    from etlbox_spark.tasks import rollback_table_task, truncate_table_task
+
+    t = _seeded(spark, tmp_path)
+    good_v = t.latest_version()
+    truncate_table_task(t.root, epoch_id=99)
+    assert row_count_task(t.root) == 0
+    rollback_table_task(t.root, good_v)
+    assert row_count_task(t.root) == 3
