@@ -936,6 +936,12 @@ class LakeTable:
         caveat; the re-applied epoch rewrites its ``epoch=N`` log dir
         for fresh consumers.
 
+        Replay resume stays correct without operator care: ``replay``'s
+        ``fast_resume`` shortcut is gated on the INTERSECTION of
+        checkpoint-recorded and manifest-committed epochs, so a
+        re-replay reusing the old checkpoint file still re-applies the
+        rolled-back epochs (the markers outrank the checkpoint).
+
         Concurrency: like ``truncate`` it serializes last (a lost CAS
         re-reads and retries — rollback's statement wins over whatever
         landed in between, by operator intent); a concurrent epoch

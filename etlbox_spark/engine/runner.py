@@ -34,7 +34,14 @@ def replay(
     todo = epochs if epochs is not None else list_epochs(events_dir)
     done_fast = set()
     if checkpoint is not None and fast_resume:
-        done_fast = {int(k) for k, v in checkpoint.load()["epochs"].items() if not v["skipped"]}
+        ck_done = {int(k) for k, v in checkpoint.load()["epochs"].items() if not v["skipped"]}
+        if ck_done:
+            # The lake's epoch markers are the source of truth, the
+            # checkpoint is only a job-submission shortcut: a rollback()
+            # may have UNMARKED epochs the checkpoint still records (the
+            # bad-epoch escape hatch) — those must re-apply, not
+            # fast-skip. One manifest read gates the whole resume.
+            done_fast = ck_done & set(lake.manifest().committed_epochs)
     for ep in sorted(todo):
         if ep in done_fast:
             results.append(MergeResult(epoch_id=ep, version=-1, skipped=True))

@@ -285,3 +285,35 @@ def test_expire_changes_retention(spark, tmp_path):
     # the table is untouched by log retention
     assert _snapshot(spark, t) == {("r0", "p1"): "Test1c", ("r0", "p2"): "Test2",
                                    ("r0", "p3"): "Test3"}
+
+
+def test_rollback_rewrites_reapplied_epoch_change_log(spark, tmp_path):
+    """Rollback + CDC-out interplay: a rolled-back epoch's re-application
+    REWRITES its epoch=N change-log dir (the stale final dir is cleared
+    before the new delta lands), so a fresh feed consumer sees the
+    corrected actions, not the poisoned ones. Consumers that already
+    drained the old log are beyond the table's control — Delta's
+    RESTORE + CDF caveat, documented on LakeTable.rollback."""
+    from etlbox_spark.engine.merge import read_changes
+
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    good_v = t.latest_version()
+    _apply(spark, t, [ev(10, "update", "p1", "POISON")], MergeMode.DELTA, 1, d)
+    assert _delta_actions(spark, d, 1) == {("r0", "p1"): "update"}
+    assert _snapshot(spark, t)[("r0", "p1")] == "POISON"
+
+    t.rollback(good_v)
+    # the stale log is still visible until the epoch re-applies (history
+    # is never rewritten; the feed heals forward, not backward)
+    assert {int(r.epoch) for r in read_changes(spark, d).collect()} == {0, 1}
+
+    _apply(spark, t, [ev(10, "update", "p1", "Test1-fixed")], MergeMode.DELTA, 1, d)
+    assert _snapshot(spark, t)[("r0", "p1")] == "Test1-fixed"
+    feed = read_changes(spark, d, from_epoch=1).collect()
+    assert {(r.repo, r.path, r.content, r.action) for r in feed} == {
+        ("r0", "p1", "Test1-fixed", "update")
+    }
+    _sha_ok(spark, t, {("r0", "p1"): "Test1-fixed", ("r0", "p2"): "Test2",
+                       ("r0", "p3"): "Test3"})

@@ -106,3 +106,29 @@ def test_rollback_bad_epoch_then_replay_converges(spark, tmp_path):
     assert [r.skipped for r in res2] == [True, True, False, False]
     snap = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
     assert snap == final == _oracle(ev_dir)
+
+
+def test_rollback_then_replay_with_same_checkpoint_reapplies(spark, tmp_path):
+    """fast_resume must not outrank the lake's epoch markers: after a
+    rollback, a re-replay reusing the SAME checkpoint file (the realistic
+    operator move — nobody remembers to delete it) still re-applies the
+    rolled-back epochs, because the resume shortcut is gated on the
+    intersection of checkpoint-done and manifest-committed epochs."""
+    ev_dir = str(tmp_path / "events")
+    write_events(
+        gen_events(spark, n_events=2000, n_repos=10, paths_per_repo=30, epoch_size=500),
+        ev_dir,
+    )
+    t = LakeTable.create(str(tmp_path / "lake"), REPO_FILES_SCHEMA, ["repo", "path"], 8)
+    spec = MergeSpec()
+    ck = Checkpoint(str(tmp_path / "c.json"))
+    res = replay(spark, t, ev_dir, spec, MergeMode.DELTA, checkpoint=ck)
+    good_v = res[1].version
+    final = {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+
+    t.rollback(good_v)
+    res2 = replay(spark, t, ev_dir, spec, MergeMode.DELTA, checkpoint=ck)
+    assert [r.skipped for r in res2] == [True, True, False, False]
+    assert {(r.repo, r.path): r.content for r in t.read(spark).collect()} == final
+    # the checkpoint now records the re-applied epochs' fresh versions
+    assert ck.load()["epochs"]["3"]["version"] == res2[3].version > good_v
