@@ -503,3 +503,37 @@ def test_rollback_refuses_unretained_target(spark, tmp_path):
     t.vacuum(keep_versions=1)
     with pytest.raises(ValueError):
         t.rollback(1)
+
+
+def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
+    """Rollback across a layout evolution: the target's bucket count is
+    restored with its files (the bucket function must match the data
+    files it addresses, or point probes and merge pruning would hash to
+    the wrong buckets), and a later epoch commits under the restored
+    layout."""
+    t = _mk(tmp_path)  # n_buckets from the fixture
+    df0 = _rows_df(spark, [("r0", "p1", "c1", "py", "A"), ("r1", "p2", "c1", "py", "B")])
+    t.commit_buckets(
+        df0, [r[0] for r in df0.select(BUCKET_COL).distinct().collect()], epoch_id=0
+    )
+    v0 = t.latest_version()
+    old_n = t.manifest().n_buckets
+
+    t.rebucket(spark, old_n * 2)
+    assert t.manifest().n_buckets == old_n * 2
+
+    t.rollback(v0)
+    m = t.manifest()
+    assert m.n_buckets == old_n
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {("r0", "p1", "A"), ("r1", "p2", "B")}
+    # point probe under the restored layout hashes to the right bucket
+    hit = t.lookup_keys(spark, [("r0", "p1")]).collect()
+    assert [(r.repo, r.path, r.content) for r in hit] == [("r0", "p1", "A")]
+    # and a fresh epoch commits under the restored bucket function
+    df1 = _rows_df(spark, [("r0", "p1", "c2", "py", "A2")])
+    t.commit_buckets(
+        df1, [r[0] for r in df1.select(BUCKET_COL).distinct().collect()], epoch_id=1
+    )
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == {("r0", "p1", "A2"), ("r1", "p2", "B")}

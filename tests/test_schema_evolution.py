@@ -193,3 +193,37 @@ def test_read_changes_spans_schema_evolution(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         read_changes(spark, str(tmp_path / "nonexistent"))
+
+
+def test_rollback_across_type_widen_then_reapply(spark, tmp_path):
+    """Rollback across a schema evolution: the target snapshot's schema
+    HISTORY is restored (current_schema_version reverts with the files),
+    old-generation reads keep working, and re-applying the widening
+    epoch re-evolves the schema and converges on the pre-rollback state."""
+    t = LakeTable.create(str(tmp_path / "t"), BASE_SCHEMA, ["repo", "path"], 4)
+    e0 = spark.createDataFrame(
+        [(1, "insert", "r0", "a.py", "v1", 3)], _events_schema(),
+    )
+    apply_epoch(spark, t, e0, SPEC, MergeMode.DELTA, 0)
+    v1 = t.latest_version()
+
+    wide = _events_schema(extra=[T.StructField("size_bytes", T.LongType(), True)],
+                          stars_type=T.LongType())
+    e1 = spark.createDataFrame([(2, "update", "r0", "a.py", "v2", 2**40, 99)], wide)
+    apply_epoch(spark, t, e1, SPEC, MergeMode.DELTA, 1)
+    assert t.manifest().current_schema_version == 2
+    want = {r.path: (r.content, r.stars, r.size_bytes) for r in t.read(spark).collect()}
+
+    t.rollback(v1)
+    m = t.manifest()
+    assert m.current_schema_version == 1
+    assert {f.name for f in m.schema().fields} == {"repo", "path", "content", "stars"}
+    rows = {r.path: r for r in t.read(spark).collect()}
+    assert rows["a.py"].content == "v1" and rows["a.py"].stars == 3
+    assert not hasattr(rows["a.py"], "size_bytes")
+
+    # the widening epoch re-applies: schema re-evolves, state converges
+    apply_epoch(spark, t, e1, SPEC, MergeMode.DELTA, 1)
+    assert t.manifest().current_schema_version == 2
+    got = {r.path: (r.content, r.stars, r.size_bytes) for r in t.read(spark).collect()}
+    assert got == want
