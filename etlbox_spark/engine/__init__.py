@@ -8,6 +8,7 @@ from .merge import (
     dedupe_lww,
     evolve_schema,
     read_changes,
+    read_quarantine,
 )
 from .runner import replay
 from .spec import ChangeAction, MergeMode, MergeSpec
@@ -28,5 +29,6 @@ __all__ = [
     "dedupe_lww",
     "evolve_schema",
     "read_changes",
+    "read_quarantine",
     "replay",
 ]

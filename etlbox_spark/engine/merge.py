@@ -220,7 +220,99 @@ def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
             removed += 1
         else:
             kept += 1
+    qroot = os.path.join(delta_dir, "_quarantine")
+    if os.path.isdir(qroot):
+        for name in sorted(os.listdir(qroot)):
+            if name.startswith("epoch=") and int(name.split("=", 1)[1]) < before_epoch:
+                shutil.rmtree(os.path.join(qroot, name))
+                removed += 1
     return {"removed": removed, "kept": kept}
+
+
+# Input op vocabulary: insert | update | delete (spec.op_col docstring);
+# "upsert" accepted as the explicit tombstone-complement (the engine's
+# merge semantics are exactly tombstone-vs-upsert, gen.py:57).
+_VALID_OPS = ("insert", "update", "upsert", "delete")
+
+
+def _malformed_pred(spec: MergeSpec):
+    """True for events that would corrupt the merge rather than merge
+    wrong: NULL key columns (the null-safe classify join would upsert a
+    real NULL-keyed row), NULL seq (LWW order undefined), NULL/unknown
+    op (silently treated as upsert today). NULL-safe by construction —
+    the predicate itself is never NULL, so ``where(pred)`` and
+    ``where(~pred)`` partition the batch exactly."""
+    bad = F.lit(False)
+    for k in spec.key_cols:
+        bad = bad | F.col(k).isNull()
+    bad = bad | F.col(spec.seq_col).isNull()
+    bad = bad | ~F.coalesce(F.col(spec.op_col).isin(*_VALID_OPS), F.lit(False))
+    return bad
+
+
+def _route_malformed(
+    spark: SparkSession, root: str, events: DataFrame, spec: MergeSpec, epoch_id: int
+) -> tuple[DataFrame, int]:
+    """Dead-letter split per ``spec.on_malformed`` (LinkErrorTo analog in
+    the merge core). Runs BEFORE LWW dedupe — a malformed event must not
+    outrank a valid one in the last-writer-wins window. Quarantined rows
+    land under ``{root}/_quarantine/epoch=N``: the underscore parent is
+    skipped by every listing of ``root`` (read_changes/stream_changes
+    stay clean) while ``read_quarantine`` addresses it directly. A retry
+    of a crashed epoch overwrites its own quarantine dir (same
+    idempotence rule as the delta log); a committed epoch's retry
+    no-ops before reaching here."""
+    if spec.on_malformed == "ignore":
+        return events, 0
+    bad_pred = _malformed_pred(spec)
+    if spec.on_malformed == "fail":
+        sample = events.where(bad_pred).limit(1).collect()
+        if sample:
+            raise ValueError(
+                f"epoch {epoch_id}: malformed event under on_malformed='fail' "
+                f"(NULL key/seq or unknown op): {sample[0].asDict()!r}"
+            )
+        return events, 0
+    if spec.on_malformed != "quarantine":
+        raise ValueError(f"unknown on_malformed policy {spec.on_malformed!r}")
+    bad = events.where(bad_pred)
+    n = bad.count()
+    if n:
+        qdir = os.path.join(root, "_quarantine", f"epoch={epoch_id}")
+        bad.write.mode("overwrite").parquet(qdir)
+    return events.where(~bad_pred), n
+
+
+def read_quarantine(
+    spark: SparkSession,
+    delta_dir: str,
+    from_epoch: int | None = None,
+    to_epoch: int | None = None,
+) -> DataFrame:
+    """Read the dead-letter log written by ``on_malformed="quarantine"``,
+    optionally bounded by epoch (inclusive) — the operator's replay-or-
+    discard queue. Empty-schema-safe: returns an empty frame when no
+    epoch in range quarantined anything."""
+    qroot = os.path.join(delta_dir, "_quarantine")
+    eps = (
+        sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(qroot)
+            if n.startswith("epoch=")
+        )
+        if os.path.isdir(qroot)
+        else []
+    )
+    if from_epoch is not None:
+        eps = [e for e in eps if e >= from_epoch]
+    if to_epoch is not None:
+        eps = [e for e in eps if e <= to_epoch]
+    if not eps:
+        return spark.createDataFrame([], T.StructType([T.StructField("epoch", T.LongType())]))
+    df = spark.read.option("basePath", qroot).parquet(
+        *[os.path.join(qroot, f"epoch={e}") for e in eps]
+    )
+    return df
 
 
 @dataclass
@@ -415,6 +507,12 @@ def apply_epoch(
             _finalize_delta(delta_dir, epoch_id)
         return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
 
+    # dead-letter routing first: a malformed event must not poison the
+    # LWW window or the null-safe classify join (spec.on_malformed)
+    events, n_quarantined = _route_malformed(
+        spark, delta_dir if delta_dir is not None else lake.root, events, spec, epoch_id
+    )
+
     batch = dedupe_lww(events, spec)
 
     # schema evolution before classification so payload cols are final
@@ -494,6 +592,8 @@ def apply_epoch(
         delta.write.mode("overwrite").parquet(dpath)
         delta = spark.read.parquet(dpath)
     counts: dict[str, int] = {}
+    if spec.on_malformed == "quarantine":
+        counts["quarantine"] = n_quarantined
     changed_set: set[int] = set()
     for b, a, c in delta.groupBy(BUCKET_COL, ACTION_COL).count().collect():
         counts[a] = counts.get(a, 0) + c

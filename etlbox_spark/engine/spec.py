@@ -53,6 +53,18 @@ class MergeSpec:
     seq_col      — total-order column for last-writer-wins dedupe.
     compare_cols — [CompareColumn]s: equal ⇒ ChangeAction.EXISTS (no write).
     op_col       — input op column: insert | update | delete (tombstone).
+    on_malformed — dead-letter policy for events that would corrupt the
+                   merge (NULL key column, NULL seq, NULL/unknown op) —
+                   the ETLBox LinkErrorTo analog INSIDE the merge core:
+                   * "ignore" (default): trust upstream, zero extra cost
+                     (today's behavior — a NULL-keyed event would land as
+                     a real NULL-keyed row via the null-safe join).
+                   * "quarantine": route offenders to an underscore-
+                     invisible ``_quarantine/epoch=N`` log next to the
+                     delta log and merge the rest; count in
+                     ``MergeResult.counts["quarantine"]``.
+                   * "fail": raise on the first offender (poison-pill
+                     stop-the-line).
     """
 
     key_cols: tuple[str, ...] = ("repo", "path")
@@ -60,6 +72,7 @@ class MergeSpec:
     compare_cols: tuple[str, ...] = ("commit", "lang", "content")
     op_col: str = "op"
     payload_cols: tuple[str, ...] = field(default=())
+    on_malformed: str = "ignore"
 
     def all_payload_cols(self) -> tuple[str, ...]:
         """Columns carried into the table (compare + extra payload)."""
