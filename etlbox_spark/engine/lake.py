@@ -56,10 +56,12 @@ directory layouts.
 
 from __future__ import annotations
 
+import base64
 import contextlib
 import json
 import os
 import uuid
+import zlib
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -84,6 +86,70 @@ MOR_ORDER_COL = "__order"  # manifest version the delta committed at
 # Readers never select the column (explicit-schema reads prune it).
 KHASH_COL = "__khash"
 
+# Per-file Bloom filter over the key hashes (Iceberg puffin / Parquet
+# bloom analog). Min/max hash ranges prune nothing on a MoR delta
+# backlog: a delta file holding even ~100 uniformly-hashed keys spans
+# nearly the whole 64-bit range, so every point probe reads every delta
+# of its bucket. A Bloom has no such geometry problem — membership is
+# per-key — so ``lookup_keys`` skips exactly the delta files that don't
+# contain the probed key (no false negatives by construction; false
+# positives only cost a wasted read). Built for DELTA files by default
+# (small by MoR construction → reading back one int64 column is
+# trivial; base files are read by the probe anyway and at 100 TB would
+# make the write path re-read GBs), stored inline in the manifest
+# (zlib+b64, ≤ 8 KiB raw, sized at ~10 bits/key, capped — compaction
+# drops the entries, so the manifest stays bounded).
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 7  # optimal hash count at 10 bits/key (fp ≈ 0.9%)
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 16  # 8 KiB raw ≈ 6.5k keys; larger files skip
+
+
+def _bloom_build(hashes: "list[int]") -> dict[str, Any] | None:
+    """Deterministic Bloom filter over 64-bit key hashes. Double
+    hashing from the xxhash64 value itself (low/high 32-bit halves) —
+    no extra hash passes, identical bits regardless of row order."""
+    uniq = {h & 0xFFFFFFFFFFFFFFFF for h in hashes if h is not None}
+    if not uniq:
+        return None
+    m = 1 << max(
+        _BLOOM_MIN_BITS.bit_length() - 1,
+        (len(uniq) * _BLOOM_BITS_PER_KEY - 1).bit_length(),
+    )
+    if m > _BLOOM_MAX_BITS:
+        return None  # file too large for a bounded filter; min/max stays
+    buf = bytearray(m >> 3)
+    mask = m - 1
+    for u in uniq:
+        h1 = u & 0xFFFFFFFF
+        h2 = (u >> 32) | 1  # odd stride covers the power-of-two table
+        for i in range(_BLOOM_K):
+            b = (h1 + i * h2) & mask
+            buf[b >> 3] |= 1 << (b & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "z": base64.b64encode(zlib.compress(bytes(buf), 6)).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict[str, Any], hashes: "list[int]") -> bool:
+    """True iff ANY of ``hashes`` may be a member. No false negatives."""
+    m, k = int(bloom["m"]), int(bloom["k"])
+    buf = zlib.decompress(base64.b64decode(bloom["z"]))
+    mask = m - 1
+    for h in hashes:
+        u = h & 0xFFFFFFFFFFFFFFFF
+        h1 = u & 0xFFFFFFFF
+        h2 = (u >> 32) | 1
+        for i in range(k):
+            b = (h1 + i * h2) & mask
+            if not (buf[b >> 3] >> (b & 7)) & 1:
+                break
+        else:
+            return True
+    return False
+
 
 class ConcurrentCommitError(RuntimeError):
     """A commit lost the manifest CAS to a conflicting concurrent commit
@@ -101,6 +167,7 @@ def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None
         "write.mode",
         "write.sort.cols",
         "write.parquet.block.size",
+        "write.bloom",
         "compact.max.deltas.per.bucket",
     }
     for k, v in props.items():
@@ -108,6 +175,8 @@ def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None
             raise ValueError(f"unknown engine table property {k!r} (known: {sorted(known)})")
         if k == "write.mode" and v not in ("cow", "mor"):
             raise ValueError(f"write.mode must be 'cow' or 'mor', got {v!r}")
+        if k == "write.bloom" and v not in ("delta", "all", "none"):
+            raise ValueError(f"write.bloom must be 'delta', 'all' or 'none', got {v!r}")
         if k == "write.sort.cols":
             spec = str(v).strip()
             if spec not in ("none", "khash"):
@@ -376,20 +445,25 @@ class LakeTable:
     @staticmethod
     def _prune_by_khash(entries: list[dict[str, Any]], key_hashes: list[int]) -> list[dict[str, Any]]:
         """Keep entries whose [khash_min, khash_max] could contain any of
-        the probe hashes; entries without stats (older manifests) are
-        always kept — pruning is an optimization, never a filter."""
+        the probe hashes, then — for entries carrying a Bloom filter
+        (MoR delta files) — whose filter admits at least one probe hash.
+        Entries without stats (older manifests) are always kept; both
+        levels are free of false negatives — pruning is an optimization,
+        never a filter."""
         import bisect
 
         hs = sorted(key_hashes)
         out = []
         for e in entries:
             lo, hi = e.get("khash_min"), e.get("khash_max")
-            if lo is None or hi is None:
-                out.append(e)
+            if lo is not None and hi is not None:
+                i = bisect.bisect_left(hs, lo)
+                if i >= len(hs) or hs[i] > hi:
+                    continue
+            bloom = e.get("khash_bloom")
+            if bloom is not None and not _bloom_may_contain(bloom, hs):
                 continue
-            i = bisect.bisect_left(hs, lo)
-            if i < len(hs) and hs[i] <= hi:
-                out.append(e)
+            out.append(e)
         return out
 
     def read(
@@ -482,10 +556,13 @@ class LakeTable:
         """Point lookup: current rows for exactly ``keys`` (tuples in
         ``key_cols`` order), scanning only the files that can hold them.
 
-        Pruning is two-level: bucket (manifest partition pruning) then
-        per-file min/max key-hash (footer stats recorded at write time) —
-        on a MoR-heavy bucket a point probe skips every delta file whose
-        hash range excludes the key instead of merging them all. The probe
+        Pruning is three-level: bucket (manifest partition pruning), then
+        per-file min/max key-hash (footer stats recorded at write time),
+        then per-file Bloom membership (delta files record one at commit;
+        min/max ranges of multi-key delta files overlap almost totally,
+        so the bloom is what actually skips a MoR backlog's files) — a
+        point probe reads the bucket's base plus only the delta files
+        that can hold the key instead of merging them all. The probe
         hashes are computed by Spark itself (one row per key — bounded
         metadata, identical xxhash64 to the write path by construction,
         keys cast to the table's key types first), then the surviving
@@ -517,11 +594,17 @@ class LakeTable:
         commit_dir_name: str,
         key_cols: list[str],
         properties: dict[str, Any] | None = None,
+        with_bloom: bool = False,
     ) -> list[dict[str, Any]]:
         """Write rows (must carry BUCKET_COL) under data/<commit_dir>/,
         one directory per bucket; return manifest file entries with
         per-file row counts and min/max key-hash stats (from the parquet
         footers the rows-count pass already opens — free).
+
+        ``with_bloom`` additionally records a per-file Bloom filter over
+        the key hashes (read back from the just-written file — intended
+        for SMALL files, i.e. MoR deltas, where the column read is
+        trivial and min/max ranges prune nothing; see _bloom_build).
 
         Table property ``write.sort.cols`` orders rows WITHIN each bucket
         file (a per-partition sort — no extra shuffle): buckets are
@@ -598,16 +681,22 @@ class LakeTable:
                             continue
                         kmin = st.min if kmin is None else min(kmin, st.min)
                         kmax = st.max if kmax is None else max(kmax, st.max)
-                entries.append(
-                    {
-                        "path": os.path.relpath(fpath, self.root),
-                        "bucket": bucket,
-                        "rows": rows,
-                        "schema_version": None,  # stamped by caller
-                        "khash_min": kmin,
-                        "khash_max": kmax,
-                    }
-                )
+                entry: dict[str, Any] = {
+                    "path": os.path.relpath(fpath, self.root),
+                    "bucket": bucket,
+                    "rows": rows,
+                    "schema_version": None,  # stamped by caller
+                    "khash_min": kmin,
+                    "khash_max": kmax,
+                }
+                # size gate first: rows is already in hand from the
+                # footer, so an oversized file never pays the column read
+                if with_bloom and rows * _BLOOM_BITS_PER_KEY <= _BLOOM_MAX_BITS:
+                    vals = pq.read_table(fpath, columns=[KHASH_COL])[KHASH_COL].to_pylist()
+                    bloom = _bloom_build(vals)
+                    if bloom is not None:
+                        entry["khash_bloom"] = bloom
+                entries.append(entry)
         return entries
 
     def _rebase_epoch(self, base_version: int, epoch_id: int) -> Manifest | None:
@@ -743,6 +832,7 @@ class LakeTable:
                     f"c{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}",
                     m.key_cols,
                     properties=m.properties,
+                    with_bloom=str(m.properties.get("write.bloom", "delta")) == "all",
                 )
                 for e in new_entries:
                     if e["bucket"] not in changed:
@@ -815,6 +905,7 @@ class LakeTable:
                     f"d{m.version + 1}-e{epoch_id}-{uuid.uuid4().hex[:6]}",
                     m.key_cols,
                     properties=m.properties,
+                    with_bloom=str(m.properties.get("write.bloom", "delta")) != "none",
                 )
                 for e in new_entries:
                     e["kind"] = "delta"
@@ -875,7 +966,8 @@ class LakeTable:
         picks the new values up. The operational lever this exists for:
         switch ``write.sort.cols`` to ``"khash"`` when a table turns
         lookup-dominated, retune ``write.parquet.block.size`` (pruning
-        granularity) or ``compact.max.deltas.per.bucket`` as the
+        granularity), ``write.bloom`` (per-file key membership filters:
+        'delta' default / 'all' / 'none') or ``compact.max.deltas.per.bucket`` as the
         read/write cost ratio drifts — each takes effect incrementally
         as commits rewrite buckets, with ``compact()`` available to
         re-layout eagerly.
@@ -1024,6 +1116,7 @@ class LakeTable:
                 f"rebucket-v{new_ver}-{uuid.uuid4().hex[:6]}",
                 m.key_cols,
                 properties=m.properties,
+                with_bloom=str(m.properties.get("write.bloom", "delta")) == "all",
             )
             for e in entries:
                 e["schema_version"] = m.current_schema_version
@@ -1081,6 +1174,7 @@ class LakeTable:
                     f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}",
                     m.key_cols,
                     properties=m.properties,
+                    with_bloom=str(m.properties.get("write.bloom", "delta")) == "all",
                 )
                 for e in entries:
                     e["schema_version"] = m.current_schema_version
