@@ -52,11 +52,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _scratch(name: str) -> str:
     """Fixed per-query scratch dir, WIPED on each invocation (ADVICE r03:
     mkdtemp leaked one dir — with written data — per queries() call, and
-    bench/contract harnesses invoke these repeatedly)."""
+    bench/contract harnesses invoke these repeatedly). Keyed by PID so
+    two concurrent harness processes (e.g. a contract sweep starting
+    while bench.py is mid-flight) can't rmtree each other's live tables —
+    bounded leak of one dir tree per process, not per invocation."""
     import os
     import shutil
 
-    d = os.path.join("/tmp", "etlbox_contract_scratch", name)
+    d = os.path.join("/tmp", f"etlbox_contract_scratch_{os.getpid()}", name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     return d

@@ -177,6 +177,8 @@ def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None
             raise ValueError(f"write.mode must be 'cow' or 'mor', got {v!r}")
         if k == "write.bloom" and v not in ("delta", "all", "none"):
             raise ValueError(f"write.bloom must be 'delta', 'all' or 'none', got {v!r}")
+        if k == "bucketing" and v not in ("khash", "custom"):
+            raise ValueError(f"bucketing must be 'khash' or 'custom', got {v!r}")
         if k == "write.sort.cols":
             spec = str(v).strip()
             if spec not in ("none", "khash"):
@@ -338,17 +340,30 @@ class LakeTable:
         t = LakeTable(root)
         if t.exists():
             raise FileExistsError(f"table already exists at {root}")
-        # a dropped table leaves meta/v*.json + data behind (drop removes
-        # only the pointer); creating a NEW table over them would publish
-        # v0 while manifest(v) time travel still resolves the OLD table's
-        # manifests and data — refuse instead of crossing table lifetimes
-        if os.path.isdir(t._meta_dir) and any(
-            fn.startswith("v") and fn.endswith(".json") for fn in os.listdir(t._meta_dir)
-        ):
-            raise FileExistsError(
-                f"stale table metadata under {t._meta_dir}; remove the old "
-                "table's meta/data dirs (or choose a fresh root) before create()"
-            )
+        if os.path.isdir(t._meta_dir):
+            manifests = [
+                fn for fn in os.listdir(t._meta_dir)
+                if fn.startswith("v") and fn.endswith(".json")
+            ]
+            # self-heal a HARD-crashed create (power loss between the
+            # v0.json link and the first pointer write): no pointer means
+            # create() never returned, so no caller could have committed
+            # data — the orphan v0 is safe to discard and re-create with
+            # THIS call's schema. Only when v0 is the sole manifest:
+            # anything past v0 without a pointer is a dropped table.
+            if manifests == ["v0.json"]:
+                os.remove(os.path.join(t._meta_dir, "v0.json"))
+                manifests = []
+            # a dropped table leaves meta/v*.json + data behind (drop
+            # removes only the pointer); creating a NEW table over them
+            # would publish v0 while manifest(v) time travel still
+            # resolves the OLD table's manifests and data — refuse
+            # instead of crossing table lifetimes
+            if manifests:
+                raise FileExistsError(
+                    f"stale table metadata under {t._meta_dir}; remove the old "
+                    "table's meta/data dirs (or choose a fresh root) before create()"
+                )
         os.makedirs(t._data_dir, exist_ok=True)
         m = Manifest(
             version=0,
@@ -570,6 +585,15 @@ class LakeTable:
         caveat in ``read()`` never leaks spurious keys to the caller.
         """
         m = self.manifest()
+        if m.properties.get("bucketing", "khash") != "khash":
+            # e.g. an IVF table laid out by cluster id: the probe's
+            # bucket_expr(key) would prune to buckets the rows don't
+            # live in and silently return nothing
+            raise ValueError(
+                "lookup_keys requires key-hash bucketing; this table is "
+                f"bucketing={m.properties['bucketing']!r} (buckets are not "
+                "derivable from keys — read with explicit buckets instead)"
+            )
         from ..functions.hashing import bucket_expr, key_hash
 
         kfields = [f for f in m.schema().fields if f.name in m.key_cols]
@@ -730,6 +754,27 @@ class LakeTable:
                     "maintenance (compact/vacuum)"
                 )
         return m2
+
+    @contextlib.contextmanager
+    def _restore_intent(self, to_version: int):
+        """Pin snapshot ``to_version``'s manifest + data files against a
+        concurrent vacuum for the span of a rollback. The ``_inflight.*``
+        marker can't do this job: it only floors vacuum's deletion cutoff
+        at the marker's mtime, which protects freshly WRITTEN files — a
+        rollback references OLD files whose mtimes are far below any
+        cutoff, so vacuum must instead treat the intent's target version
+        as retained while the marker lives."""
+        os.makedirs(self._meta_dir, exist_ok=True)
+        p = os.path.join(
+            self._meta_dir, f"_restore-intent.{to_version}.{uuid.uuid4().hex[:8]}"
+        )
+        with open(p, "w", encoding="utf-8"):
+            pass  # the target version is in the name; mtime ages it out
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(p)
 
     @contextlib.contextmanager
     def _inflight_guard(self):
@@ -1039,7 +1084,14 @@ class LakeTable:
         landed in between, by operator intent); a concurrent epoch
         commit racing it conflicts via ``_rebase_epoch`` ("rollback" is
         not a logical no-op) rather than silently landing on the
-        rolled-back state."""
+        rolled-back state. Against a concurrent VACUUM the target is
+        pinned by a ``_restore-intent`` marker (vacuum retains the
+        marked version while the marker lives); the unavoidable residue
+        — a vacuum that listed markers just before the intent appeared —
+        is caught by re-verifying the files after the publish and
+        REVERTING the rollback (the pre-rollback snapshot's files are
+        what that vacuum retained, so the revert is always safe) before
+        raising."""
         try:
             tgt = self.manifest(to_version)
         except FileNotFoundError:
@@ -1048,44 +1100,89 @@ class LakeTable:
                 "(vacuumed?) — rollback can only reach snapshots inside "
                 "the vacuum window"
             ) from None
-        missing = [
-            e["path"]
-            for e in tgt.files
-            if not os.path.exists(os.path.join(self.root, e["path"]))
-        ]
-        if missing:
-            raise ValueError(
-                f"cannot rollback to v{to_version}: {len(missing)} data "
-                f"file(s) already reclaimed, e.g. {missing[0]!r}"
-            )
-        while True:
-            m = self.manifest()
-            if (
-                m.version == to_version
-                or (
-                    m.files == tgt.files
-                    and m.committed_epochs == tgt.committed_epochs
-                    and m.current_schema_version == tgt.current_schema_version
-                    and m.n_buckets == tgt.n_buckets
+
+        def _missing() -> list[str]:
+            return [
+                e["path"]
+                for e in tgt.files
+                if not os.path.exists(os.path.join(self.root, e["path"]))
+            ]
+
+        with self._restore_intent(to_version):
+            missing = _missing()
+            if missing:
+                raise ValueError(
+                    f"cannot rollback to v{to_version}: {len(missing)} data "
+                    f"file(s) already reclaimed, e.g. {missing[0]!r}"
                 )
+            while True:
+                m = self.manifest()
+                if (
+                    m.version == to_version
+                    or (
+                        m.files == tgt.files
+                        and m.committed_epochs == tgt.committed_epochs
+                        and m.current_schema_version == tgt.current_schema_version
+                        and m.n_buckets == tgt.n_buckets
+                    )
+                ):
+                    # already at (or content-identical to) the target — a
+                    # retried rollback must not burn versions
+                    return m.version
+                nm = Manifest(
+                    version=m.version + 1,
+                    key_cols=tgt.key_cols,
+                    n_buckets=tgt.n_buckets,
+                    current_schema_version=tgt.current_schema_version,
+                    schemas=dict(tgt.schemas),
+                    files=list(tgt.files),
+                    committed_epochs=list(tgt.committed_epochs),
+                    parent=m.version,
+                    properties=dict(m.properties),
+                    operation="rollback",
+                )
+                if self._publish(nm):
+                    missing = _missing()
+                    if missing:
+                        self._revert_rollback(m, nm)
+                        raise ValueError(
+                            f"rollback to v{to_version} raced a vacuum that "
+                            f"reclaimed {len(missing)} of its data file(s) "
+                            f"(e.g. {missing[0]!r}); the table was reverted "
+                            f"to v{m.version}'s content"
+                        )
+                    return nm.version
+
+    def _revert_rollback(self, pre: Manifest, published: Manifest) -> None:
+        """Undo a just-published rollback whose target files turned out
+        reclaimed: publish a forward commit restoring the PRE-rollback
+        content (those files were the then-latest snapshot's, which any
+        racing vacuum retained by definition). CAS loop because an epoch
+        writer may take a version in between (it would conflict on the
+        rollback and fail its own commit, but may still have burned the
+        version number)."""
+        while True:
+            cur = self.manifest()
+            if (
+                cur.files == pre.files
+                and cur.committed_epochs == pre.committed_epochs
+                and cur.current_schema_version == pre.current_schema_version
             ):
-                # already at (or content-identical to) the target — a
-                # retried rollback must not burn versions
-                return m.version
+                return
             nm = Manifest(
-                version=m.version + 1,
-                key_cols=tgt.key_cols,
-                n_buckets=tgt.n_buckets,
-                current_schema_version=tgt.current_schema_version,
-                schemas=dict(tgt.schemas),
-                files=list(tgt.files),
-                committed_epochs=list(tgt.committed_epochs),
-                parent=m.version,
-                properties=dict(m.properties),
+                version=cur.version + 1,
+                key_cols=pre.key_cols,
+                n_buckets=pre.n_buckets,
+                current_schema_version=pre.current_schema_version,
+                schemas=dict(pre.schemas),
+                files=list(pre.files),
+                committed_epochs=list(pre.committed_epochs),
+                parent=cur.version,
+                properties=dict(cur.properties),
                 operation="rollback",
             )
             if self._publish(nm):
-                return nm.version
+                return
 
     # -------------------------------------------------------- maintenance
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
@@ -1104,6 +1201,11 @@ class LakeTable:
         from ..functions.hashing import bucket_expr
 
         m = self.manifest()
+        if m.properties.get("bucketing", "khash") != "khash":
+            raise ValueError(
+                "rebucket rewrites under the key-hash bucket function; this "
+                f"table is bucketing={m.properties['bucketing']!r}"
+            )
         if new_n_buckets == m.n_buckets:
             return m.version
         with self._inflight_guard():
@@ -1229,6 +1331,10 @@ class LakeTable:
         already-written data files and guard (1) alone would reclaim
         them. Markers older than ``inflight_max_age_s`` are crashed
         writers' leftovers: swept, so they can't block vacuum forever.
+        (3) a live ``_restore-intent.{v}.*`` marker (an in-flight
+        ``rollback``) adds version ``v`` to the kept set — its OLD files
+        are what the rollback is about to re-reference, and no mtime
+        guard can protect old files.
 
         Readers pinned to an expired snapshot (e.g. a long job that
         called ``read(version=...)`` on a version outside the kept
@@ -1239,15 +1345,27 @@ class LakeTable:
 
         latest = self.latest_version()
         keep = set(range(max(0, latest - keep_versions + 1), latest + 1))
-        referenced: set[str] = set()
-        for v in keep:
-            for e in self.manifest(v).files:
-                referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
         cutoff = (
             os.path.getmtime(os.path.join(self._meta_dir, f"v{latest}.json")) - grace_s
         )
         now = _time.time()
         for fn in os.listdir(self._meta_dir):
+            # a live _restore-intent.{v}.{uuid} marker pins version v (a
+            # rollback is re-referencing its OLD files, which no mtime
+            # guard protects); stale markers age out like _inflight ones
+            if fn.startswith("_restore-intent."):
+                p = os.path.join(self._meta_dir, fn)
+                try:
+                    mt = os.path.getmtime(p)
+                except OSError:
+                    continue
+                if now - mt > inflight_max_age_s:
+                    with contextlib.suppress(OSError):
+                        os.remove(p)
+                    continue
+                with contextlib.suppress(ValueError, IndexError):
+                    keep.add(int(fn.split(".")[1]))
+                continue
             if not fn.startswith("_inflight."):
                 continue
             p = os.path.join(self._meta_dir, fn)
@@ -1260,6 +1378,15 @@ class LakeTable:
                     os.remove(p)
                 continue
             cutoff = min(cutoff, mt)
+        referenced: set[str] = set()
+        for v in sorted(keep):
+            try:
+                entries = self.manifest(v).files
+            except FileNotFoundError:
+                keep.discard(v)  # intent target already expired earlier
+                continue
+            for e in entries:
+                referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
         stats = {"files_deleted": 0, "manifests_deleted": 0, "bytes_freed": 0}
         for dirpath, _dirs, files in os.walk(self._data_dir):
             for fn in files:

@@ -33,6 +33,8 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,6 +57,29 @@ def _delta_paths(delta_dir: str, epoch_id: int) -> tuple[str, str]:
         os.path.join(delta_dir, f"_inflight-epoch-{epoch_id}"),
         os.path.join(delta_dir, f"epoch={epoch_id}"),
     )
+
+
+def _quarantine_paths(root: str, epoch_id: int) -> tuple[str, str]:
+    qroot = os.path.join(root, "_quarantine")
+    return (
+        os.path.join(qroot, f"_inflight-epoch-{epoch_id}"),
+        os.path.join(qroot, f"epoch={epoch_id}"),
+    )
+
+
+def _finalize_quarantine(root: str, epoch_id: int) -> None:
+    """Expose a committed epoch's dead-letter rows — same rename protocol
+    as the delta log, so a visible ``_quarantine/epoch=N`` IMPLIES epoch
+    N committed (a crashed attempt's rows stay under the in-flight name,
+    invisible to ``read_quarantine``'s listing, and are overwritten by
+    the retry). Idempotent; no-op when the epoch quarantined nothing."""
+    tmp, final = _quarantine_paths(root, epoch_id)
+    if os.path.exists(final):
+        if os.path.exists(tmp):  # final implies committed; tmp is stale
+            shutil.rmtree(tmp)
+        return
+    if os.path.exists(tmp):
+        os.replace(tmp, final)
 
 
 def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
@@ -223,9 +248,14 @@ def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
     qroot = os.path.join(delta_dir, "_quarantine")
     if os.path.isdir(qroot):
         for name in sorted(os.listdir(qroot)):
-            if name.startswith("epoch=") and int(name.split("=", 1)[1]) < before_epoch:
-                shutil.rmtree(os.path.join(qroot, name))
-                removed += 1
+            # in-flight quarantine dirs below the cutoff are crashed
+            # attempts that were never retried — unreachable garbage
+            # (a retry overwrites them; a commit renames them away)
+            if name.startswith("epoch=") or name.startswith("_inflight-epoch-"):
+                ep = int(name.rsplit("=", 1)[-1].rsplit("-", 1)[-1])
+                if ep < before_epoch:
+                    shutil.rmtree(os.path.join(qroot, name))
+                    removed += 1
     return {"removed": removed, "kept": kept}
 
 
@@ -256,12 +286,19 @@ def _route_malformed(
     """Dead-letter split per ``spec.on_malformed`` (LinkErrorTo analog in
     the merge core). Runs BEFORE LWW dedupe — a malformed event must not
     outrank a valid one in the last-writer-wins window. Quarantined rows
-    land under ``{root}/_quarantine/epoch=N``: the underscore parent is
+    are written under an in-flight name and renamed to
+    ``{root}/_quarantine/epoch=N`` only after the epoch COMMITS
+    (``_finalize_quarantine``) — the delta log's rename protocol, so
+    dead letters are never visible for an epoch that didn't commit, and
+    a crashed attempt's rows (including a stale dir from a retry that
+    turned out clean) can't linger as phantoms. The underscore parent is
     skipped by every listing of ``root`` (read_changes/stream_changes
-    stay clean) while ``read_quarantine`` addresses it directly. A retry
-    of a crashed epoch overwrites its own quarantine dir (same
-    idempotence rule as the delta log); a committed epoch's retry
-    no-ops before reaching here."""
+    stay clean) while ``read_quarantine`` addresses it directly.
+
+    The row count comes from the written files' parquet footers —
+    bounded driver metadata, no separate count() job over the raw input
+    (the split itself is one job; the complement filter fuses into the
+    merge pipeline's own scan)."""
     if spec.on_malformed == "ignore":
         return events, 0
     bad_pred = _malformed_pred(spec)
@@ -275,11 +312,19 @@ def _route_malformed(
         return events, 0
     if spec.on_malformed != "quarantine":
         raise ValueError(f"unknown on_malformed policy {spec.on_malformed!r}")
+    tmp, final = _quarantine_paths(root, epoch_id)
+    # the epoch is not committed (the marker no-op returns before this),
+    # so a visible final dir here is a pre-rename-era attempt's garbage
+    shutil.rmtree(final, ignore_errors=True)
     bad = events.where(bad_pred)
-    n = bad.count()
-    if n:
-        qdir = os.path.join(root, "_quarantine", f"epoch={epoch_id}")
-        bad.write.mode("overwrite").parquet(qdir)
+    bad.write.mode("overwrite").parquet(tmp)
+    n = sum(
+        pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+        for f in os.listdir(tmp)
+        if f.endswith(".parquet")
+    )
+    if n == 0:
+        shutil.rmtree(tmp)
     return events.where(~bad_pred), n
 
 
@@ -291,10 +336,18 @@ def read_quarantine(
 ) -> DataFrame:
     """Read the dead-letter log written by ``on_malformed="quarantine"``,
     optionally bounded by epoch (inclusive) — the operator's replay-or-
-    discard queue. Empty-schema-safe: returns an empty frame when no
-    epoch in range quarantined anything."""
+    discard queue. A visible ``epoch=N`` here implies epoch N committed
+    (rename protocol, see ``_route_malformed``).
+
+    Empty-range-safe with a STABLE schema: when the log has quarantined
+    epochs but none fall in the range, the empty frame carries the
+    newest epoch's event columns + the ``epoch`` partition column (same
+    rule as ``read_changes`` — a consumer's ``.select(...)`` must not
+    break the first time a range is empty). Only a log that never
+    quarantined anything returns the minimal ``epoch``-only frame (the
+    event schema is unknowable there)."""
     qroot = os.path.join(delta_dir, "_quarantine")
-    eps = (
+    all_eps = (
         sorted(
             int(n.split("=", 1)[1])
             for n in os.listdir(qroot)
@@ -303,12 +356,17 @@ def read_quarantine(
         if os.path.isdir(qroot)
         else []
     )
+    eps = all_eps
     if from_epoch is not None:
         eps = [e for e in eps if e >= from_epoch]
     if to_epoch is not None:
         eps = [e for e in eps if e <= to_epoch]
     if not eps:
-        return spark.createDataFrame([], T.StructType([T.StructField("epoch", T.LongType())]))
+        if all_eps:
+            sch = spark.read.parquet(os.path.join(qroot, f"epoch={all_eps[-1]}")).schema
+            fields = list(sch.fields) + [T.StructField("epoch", T.IntegerType(), True)]
+            return spark.createDataFrame([], T.StructType(fields))
+        return spark.createDataFrame([], T.StructType([T.StructField("epoch", T.IntegerType())]))
     df = spark.read.option("basePath", qroot).parquet(
         *[os.path.join(qroot, f"epoch={e}") for e in eps]
     )
@@ -500,11 +558,20 @@ def apply_epoch(
       10^10-event bottleneck, see lake.py).
     """
     man = lake.manifest()
+    if man.properties.get("bucketing", "khash") != "khash":
+        # a custom-bucketed table (e.g. IVF cluster layout) cannot take
+        # merge epochs: the batch's buckets are derived from key hashes
+        # and would land rows in buckets readers don't associate them with
+        raise ValueError(
+            "apply_epoch requires key-hash bucketing; this table is "
+            f"bucketing={man.properties['bucketing']!r}"
+        )
     if epoch_id in man.committed_epochs:
-        # heal a crash between commit and delta-rename: the epoch is
-        # committed, so expose its (already fully written) delta log
+        # heal a crash between commit and delta-/quarantine-rename: the
+        # epoch is committed, so expose its (already fully written) logs
         if delta_dir is not None:
             _finalize_delta(delta_dir, epoch_id)
+        _finalize_quarantine(delta_dir if delta_dir is not None else lake.root, epoch_id)
         return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
 
     # dead-letter routing first: a malformed event must not poison the
@@ -625,6 +692,7 @@ def apply_epoch(
         )
     if delta_dir is not None:
         _finalize_delta(delta_dir, epoch_id)
+    _finalize_quarantine(delta_dir if delta_dir is not None else lake.root, epoch_id)
     return MergeResult(
         epoch_id=epoch_id,
         version=version,

@@ -96,6 +96,11 @@ def top_k_per_group_segmented(
     ``salt_col`` to segment by a cheaper existing expression (e.g. the
     unique tiebreaker the order already requires).
     """
+    clash = {"__seg", "__lrk"} & set(df.columns)
+    if clash:
+        # the withColumn/drop below would silently replace-then-remove a
+        # caller's column of the same name (the as_of_join rule)
+        raise ValueError(f"input carries reserved column(s) {sorted(clash)}")
     if salt_col is not None:
         seg = salt_col
     else:

@@ -144,7 +144,11 @@ def ivf_lake_build(
 
     assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, cluster_col="bucket")
     t = LakeTable.create(
-        root, schema=df.schema, key_cols=[id_col], n_buckets=len(centroids)
+        root, schema=df.schema, key_cols=[id_col], n_buckets=len(centroids),
+        # the bucket is the CLUSTER id, not a key hash — mark it so the
+        # key-hash-deriving ops (lookup_keys/apply_epoch/rebucket) refuse
+        # loudly instead of pruning to buckets the rows don't live in
+        properties={"bucketing": "custom"},
     )
     t.overwrite(assigned, epoch_id=epoch_id)
     return t

@@ -183,6 +183,22 @@ def test_create_refuses_stale_meta_after_drop(spark, tmp_path):
         LakeTable.create(root, REPO_FILES_SCHEMA, ["repo", "path"], 8)
 
 
+def test_create_heals_hard_crashed_create(spark, tmp_path):
+    """A crash between the v0.json link and the first pointer write used
+    to wedge the root forever (no pointer → not exists(); v0 present →
+    stale-metadata guard). v0-as-sole-manifest means create() never
+    returned, so no data exists and the retry may self-heal."""
+    import os
+
+    t = _mk(tmp_path, "crashed")
+    os.remove(t._pointer_path())  # simulate the crash window
+    assert not LakeTable(t.root).exists()
+    t2 = LakeTable.create(t.root, REPO_FILES_SCHEMA, ["repo", "path"], 8)
+    assert t2.exists() and t2.manifest().version == 0
+    # but a table that COMMITTED anything still refuses (covered above in
+    # test_create_refuses_stale_meta_after_drop)
+
+
 def test_vacuum_spares_in_flight_commit_files(spark, tmp_path):
     """ADVICE r01: files written after the latest manifest (an in-flight
     commit between _write_data and _publish) must survive vacuum."""
@@ -503,6 +519,77 @@ def test_rollback_refuses_unretained_target(spark, tmp_path):
     t.vacuum(keep_versions=1)
     with pytest.raises(ValueError):
         t.rollback(1)
+
+
+def test_vacuum_honors_restore_intent_marker(spark, tmp_path):
+    """A live _restore-intent marker (an in-flight rollback) pins its
+    target version's manifest AND data files against vacuum — old files
+    that no mtime guard protects. A stale marker ages out."""
+    import os
+    import time
+
+    t = _mk(tmp_path)
+    paths = []
+    for e in range(3):
+        df = _rows_df(spark, [("r0", "p1", f"c{e}", "py", f"V{e}")])
+        t.commit_buckets(
+            df, [r[0] for r in df.select(BUCKET_COL).distinct().collect()], epoch_id=e
+        )
+        paths.append([x["path"] for x in t.manifest().files])
+    time.sleep(0.05)
+    # pin v1 the way an in-flight rollback(1) does, then vacuum hard
+    marker = os.path.join(t._meta_dir, "_restore-intent.1.deadbeef")
+    open(marker, "w").close()
+    t.vacuum(keep_versions=1)
+    # v1 (= the first commit, paths[0]) is pinned by the marker
+    assert all(os.path.exists(os.path.join(t.root, p)) for p in paths[0])
+    assert t.rollback(1) > 0  # the pinned rollback completes
+    os.remove(marker)
+
+    # stale marker (older than inflight_max_age_s) is swept + ignored
+    marker2 = os.path.join(t._meta_dir, "_restore-intent.0.cafecafe")
+    open(marker2, "w").close()
+    os.utime(marker2, (time.time() - 999, time.time() - 999))
+    t.vacuum(keep_versions=1, inflight_max_age_s=100)
+    assert not os.path.exists(marker2)
+
+
+def test_rollback_reverts_when_racing_vacuum_won(spark, tmp_path, monkeypatch):
+    """The unavoidable residue window: a vacuum that listed markers just
+    before the intent appeared can reclaim the target's files between
+    rollback's precheck and its publish. Rollback must detect it after
+    the publish and REVERT (the pre-rollback files were retained by that
+    same vacuum), leaving the table readable, then raise."""
+    import os
+
+    t = _mk(tmp_path)
+    for e in range(3):
+        df = _rows_df(spark, [("r0", "p1", f"c{e}", "py", f"V{e}")])
+        t.commit_buckets(
+            df, [r[0] for r in df.select(BUCKET_COL).distinct().collect()], epoch_id=e
+        )
+    v_target = 1
+    tgt_files = [e["path"] for e in t.manifest(v_target).files]
+    pre_content = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+
+    real_publish = LakeTable._publish
+
+    def racing_publish(self, m):
+        # the racing vacuum lands exactly between precheck and publish
+        for p in tgt_files:
+            fp = os.path.join(self.root, p)
+            if os.path.exists(fp):
+                os.remove(fp)
+        monkeypatch.setattr(LakeTable, "_publish", real_publish)
+        return real_publish(self, m)
+
+    monkeypatch.setattr(LakeTable, "_publish", racing_publish)
+    with pytest.raises(ValueError, match="raced a vacuum"):
+        t.rollback(v_target)
+    # reverted: latest content is the pre-rollback snapshot, still readable
+    got = {(r.repo, r.path, r.content) for r in t.read(spark).collect()}
+    assert got == pre_content
+    assert t.manifest().operation == "rollback"  # the revert commit
 
 
 def test_rollback_across_rebucket_restores_layout(spark, tmp_path):

@@ -238,6 +238,29 @@ def test_ivf_lake_probe_matches_and_prunes(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
 
 
+def test_ivf_lake_refuses_keyhash_deriving_ops(spark, tmp_path):
+    """The IVF table's bucket is the CLUSTER id, not a key hash — the
+    ops that derive buckets from keys (lookup_keys / apply_epoch /
+    rebucket) must refuse loudly instead of pruning to buckets the rows
+    don't live in and silently returning nothing."""
+    import pytest
+
+    from etlbox_spark.engine import MergeMode, MergeSpec, apply_epoch
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(e, "embedding", 4, iters=1)
+    t = ivf_lake_build(e, str(tmp_path / "ivfg"), "embedding", cents)
+    assert t.manifest().properties["bucketing"] == "custom"
+
+    with pytest.raises(ValueError, match="bucketing"):
+        t.lookup_keys(spark, [(7,)])
+    with pytest.raises(ValueError, match="bucketing"):
+        t.rebucket(spark, 16)
+    spec = MergeSpec(key_cols=("vec_id",), seq_col="vec_id", compare_cols=())
+    with pytest.raises(ValueError, match="bucketing"):
+        apply_epoch(spark, t, e.limit(1), spec, MergeMode.DELTA, 99)
+
+
 def test_ivf_lake_topk_batch_matches_per_query(spark, tmp_path):
     """Batched IVF probe parity: for every query in the batch, the
     result equals the single-query ivf_lake_topk on the same lake —

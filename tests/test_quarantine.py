@@ -116,6 +116,59 @@ def test_quarantine_lww_cannot_be_outranked_by_malformed(spark, tmp_path):
     assert got == {("r0", "p1"): "GOOD"}
 
 
+def test_quarantine_invisible_until_commit_no_phantoms(spark, tmp_path):
+    """The rename protocol (mirrors the delta log's): dead letters from a
+    crashed attempt are invisible to read_quarantine, a clean retry of
+    that epoch leaves no phantom rows, and a clean-retry's stale
+    in-flight dir is swept by retention."""
+    import os
+
+    from etlbox_spark.engine.merge import _route_malformed
+
+    t = _t(tmp_path)
+    d = str(tmp_path / "delta")
+    os.makedirs(d, exist_ok=True)
+    spec = MergeSpec(compare_cols=("content",), on_malformed="quarantine")
+
+    # crashed attempt: routing ran (quarantine written in-flight), but the
+    # epoch never committed — the dead letters must not be visible
+    df_bad = spark.createDataFrame(_GOOD + _BAD, _NULLABLE_EVENTS)
+    good, n = _route_malformed(spark, d, df_bad, spec, 0)
+    assert n == 4
+    assert read_quarantine(spark, d).count() == 0  # in-flight is invisible
+
+    # upstream fixed the feed; the retry of epoch 0 is clean and commits —
+    # the crashed attempt's rows must not linger as phantoms
+    df_ok = spark.createDataFrame(_GOOD, _NULLABLE_EVENTS)
+    apply_epoch(spark, t, df_ok, spec, MergeMode.DELTA, 0, delta_dir=d)
+    assert read_quarantine(spark, d).count() == 0
+    # ... though the stale in-flight dir itself is retention's job
+    expire_changes(d, before_epoch=1)
+    assert not os.path.exists(os.path.join(d, "_quarantine", "_inflight-epoch-0"))
+
+    # a committed epoch WITH bad rows becomes visible atomically
+    apply_epoch(spark, t, df_bad, spec, MergeMode.DELTA, 1, delta_dir=d)
+    assert read_quarantine(spark, d).count() == 4
+    assert {int(r.epoch) for r in read_quarantine(spark, d).collect()} == {1}
+
+
+def test_read_quarantine_empty_range_schema_stable(spark, tmp_path):
+    """An empty range must carry the same columns as a non-empty one
+    (read_changes rule), so a consumer's select/union doesn't break the
+    first time nothing was quarantined in range."""
+    t = _t(tmp_path)
+    d = str(tmp_path / "delta")
+    spec = MergeSpec(compare_cols=("content",), on_malformed="quarantine")
+    df = spark.createDataFrame(_GOOD + _BAD, _NULLABLE_EVENTS)
+    apply_epoch(spark, t, df, spec, MergeMode.DELTA, 0, delta_dir=d)
+    full = read_quarantine(spark, d)
+    empty = read_quarantine(spark, d, from_epoch=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [f.name for f in full.schema.fields]
+    # the shared select pattern works on both
+    assert empty.select("repo", "path", "epoch").count() == 0
+
+
 def test_quarantine_retry_overwrites_and_retention_sweeps(spark, tmp_path):
     """Crash-retry idempotence: re-applying an epoch whose commit never
     landed overwrites its quarantine dir (no duplicate dead letters);
