@@ -1313,11 +1313,18 @@ class LakeTable:
         keep_versions: int = 1,
         grace_s: float = 0.0,
         inflight_max_age_s: float = 86400.0,
+        dry_run: bool = False,
     ) -> dict[str, int]:
         """Delete data files referenced only by manifests older than the
         newest ``keep_versions`` (Iceberg expire_snapshots + orphan-file
         removal). Time travel remains possible within the kept window.
         Returns {files_deleted, manifests_deleted, bytes_freed}.
+
+        ``dry_run=True`` (Iceberg/Delta's VACUUM DRY RUN) reports the
+        same counts while touching NOTHING — no data files, no
+        manifests, and no stale-marker sweeping (a dry run must be
+        side-effect-free; an aged-out marker merely isn't counted
+        toward the cutoff, same as when it is swept).
 
         Concurrency: a vacuum racing an in-flight commit (between
         _write_data and _publish) must not delete the just-written
@@ -1360,8 +1367,9 @@ class LakeTable:
                 except OSError:
                     continue
                 if now - mt > inflight_max_age_s:
-                    with contextlib.suppress(OSError):
-                        os.remove(p)
+                    if not dry_run:
+                        with contextlib.suppress(OSError):
+                            os.remove(p)
                     continue
                 with contextlib.suppress(ValueError, IndexError):
                     keep.add(int(fn.split(".")[1]))
@@ -1374,8 +1382,9 @@ class LakeTable:
             except OSError:
                 continue  # marker removed between listdir and stat
             if now - mt > inflight_max_age_s:
-                with contextlib.suppress(OSError):
-                    os.remove(p)
+                if not dry_run:
+                    with contextlib.suppress(OSError):
+                        os.remove(p)
                 continue
             cutoff = min(cutoff, mt)
         referenced: set[str] = set()
@@ -1393,7 +1402,8 @@ class LakeTable:
                 p = os.path.normpath(os.path.join(dirpath, fn))
                 if p not in referenced and os.path.getmtime(p) < cutoff:
                     stats["bytes_freed"] += os.path.getsize(p)
-                    os.remove(p)
+                    if not dry_run:
+                        os.remove(p)
                     stats["files_deleted"] += 1
         for fn in os.listdir(self._meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
@@ -1402,14 +1412,15 @@ class LakeTable:
                 except ValueError:
                     # crashed-publish temp files (v{N}.json.tmp.*) age
                     # out with the same cutoff as data files
-                    if ".json.tmp." in fn:
+                    if ".json.tmp." in fn and not dry_run:
                         p = os.path.join(self._meta_dir, fn)
                         with contextlib.suppress(OSError):
                             if os.path.getmtime(p) < cutoff:
                                 os.remove(p)
                     continue
                 if v not in keep:
-                    os.remove(os.path.join(self._meta_dir, fn))
+                    if not dry_run:
+                        os.remove(os.path.join(self._meta_dir, fn))
                     stats["manifests_deleted"] += 1
         return stats
 

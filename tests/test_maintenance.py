@@ -83,6 +83,37 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert stats2["files_deleted"] == 0 and stats2["manifests_deleted"] == 0
 
 
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    """VACUUM DRY RUN analog: identical counts, zero side effects — every
+    file, manifest and marker survives; the subsequent real vacuum
+    deletes exactly what the dry run reported."""
+    import time
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 2)
+    _apply_n_epochs(spark, t)
+    t.rebucket(spark, 4)
+    # a stale marker that a REAL vacuum would sweep
+    stale = os.path.join(t._meta_dir, "_inflight.deadbeef")
+    open(stale, "w").close()
+    os.utime(stale, (time.time() - 999, time.time() - 999))
+
+    def snapshot():
+        return sorted(
+            os.path.join(dp, f)
+            for root in (t._data_dir, t._meta_dir)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+        )
+
+    before = snapshot()
+    dry = t.vacuum(keep_versions=1, inflight_max_age_s=100, dry_run=True)
+    assert dry["files_deleted"] > 0 and dry["manifests_deleted"] > 0
+    assert snapshot() == before  # nothing touched, marker included
+    real = t.vacuum(keep_versions=1, inflight_max_age_s=100)
+    assert real == dry  # the dry run's report was exact
+    assert not os.path.exists(stale)
+
+
 def test_vacuum_keeps_time_travel_window(spark, tmp_path):
     t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 2)
     _apply_n_epochs(spark, t, n=3)
