@@ -62,10 +62,14 @@ def rollback_table_task(root: str, to_version: int) -> int:
     return LakeTable.load(root).rollback(to_version)
 
 
-def create_view_task(spark: SparkSession, root: str, view_name: str) -> DataFrame:
-    """CreateViewTask: register the current snapshot as a temp view so
-    SqlTask-style SQL can address it."""
-    df = LakeTable.load(root).read(spark, with_bucket=False)
+def create_view_task(
+    spark: SparkSession, root: str, view_name: str, version: int | None = None
+) -> DataFrame:
+    """CreateViewTask: register a snapshot as a temp view so SqlTask-style
+    SQL can address it. ``version`` pins a retained older snapshot —
+    the SQL face of time travel (SELECT ... VERSION AS OF): the view
+    keeps serving that snapshot's rows even as new epochs commit."""
+    df = LakeTable.load(root).read(spark, with_bucket=False, version=version)
     df.createOrReplaceTempView(view_name)
     return df
 

@@ -75,6 +75,25 @@ def test_sql_over_view(spark, tmp_path):
     assert [(r.path, r.content) for r in rows] == [("p2", "Test2")]
 
 
+def test_time_travel_view(spark, tmp_path):
+    """create_view_task(version=) — the SQL face of time travel: the
+    pinned view keeps serving the old snapshot after a newer epoch
+    commits; an unpinned view tracks the registration-time snapshot."""
+    t = _seeded(spark, tmp_path)
+    v1 = t.latest_version()
+    apply_epoch(
+        spark, t,
+        spark.createDataFrame([ev(9, "update", "p2", "Test2b")], EVENTS_SCHEMA),
+        SPEC, MergeMode.DELTA, 1,
+    )
+    create_view_task(spark, t.root, "rf_now")
+    create_view_task(spark, t.root, "rf_v1", version=v1)
+    assert sql_scalar_task(
+        spark, "SELECT content FROM rf_now WHERE path = 'p2'") == "Test2b"
+    assert sql_scalar_task(
+        spark, "SELECT content FROM rf_v1 WHERE path = 'p2'") == "Test2"
+
+
 def test_load_process_journal(tmp_path):
     lp = LoadProcess(str(tmp_path / "log" / "loads.jsonl"), "nightly_merge")
     lp.start(epoch=7).end(rows_in=100, rows_out=98)
