@@ -59,7 +59,12 @@ def _scratch(name: str) -> str:
     import os
     import shutil
 
-    d = os.path.join("/tmp", f"etlbox_contract_scratch_{os.getpid()}", name)
+    import atexit
+
+    base = os.path.join("/tmp", f"etlbox_contract_scratch_{os.getpid()}")
+    if not os.path.isdir(base):
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    d = os.path.join(base, name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     return d

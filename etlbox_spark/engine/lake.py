@@ -549,9 +549,19 @@ class LakeTable:
         allr = base.unionByName(delta)
         keys = list(m.key_cols)
         rest = [c for c in allr.columns if c not in keys]
+        # ordering: commit order first; at EQUAL order (one commit wrote
+        # two rows for a key — the custom-bucketed cross-bucket-move case:
+        # tombstone in the old bucket + upsert in the new one) the upsert
+        # deterministically outranks the tombstone. CDC epochs write at
+        # most one row per key per commit, so this tie-break is inert
+        # there.
+        order = F.struct(
+            F.col(MOR_ORDER_COL),
+            (F.col(MOR_OP_COL) != "delete").cast("int").alias("__op_rank"),
+        )
         merged = (
             allr.groupBy(*keys)
-            .agg(F.max_by(F.struct(*rest), F.col(MOR_ORDER_COL)).alias("__m"))
+            .agg(F.max_by(F.struct(*rest), order).alias("__m"))
             .select(*keys, "__m.*")
             .where(F.col(MOR_OP_COL) != "delete")
             .drop(MOR_OP_COL, MOR_ORDER_COL)
@@ -909,8 +919,12 @@ class LakeTable:
 
         ``df`` holds only the epoch's changed rows — upserts with their
         new payload and tombstones — carrying the ``bucket`` column and
-        ``__op`` ∈ {'upsert','delete'}; at most one row per key (the
-        epoch is LWW-deduped upstream). The commit stamps ``__order`` =
+        ``__op`` ∈ {'upsert','delete'}; at most one row per (key, op):
+        CDC epochs are LWW-deduped upstream to one row per key, and the
+        one sanctioned two-row case is a custom-bucketed cross-bucket
+        MOVE (tombstone in the old bucket + upsert in the new one, e.g.
+        ``ivf_lake_append``), which ``read()`` resolves deterministically
+        in the upsert's favor at equal commit order. The commit stamps ``__order`` =
         the new manifest version, so readers resolve base-vs-delta and
         delta-vs-delta conflicts by order alone. Reads of touched buckets
         pay a merge shuffle until ``compact()`` folds the deltas back in.

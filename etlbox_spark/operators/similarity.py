@@ -138,8 +138,15 @@ def ivf_lake_build(
     the manifest (file-list) level, exactly like the CDC tables.
 
     ``root`` must be fresh (same contract as ``LakeTable.create``).
-    Returns the committed table.
+    Returns the committed table. The centroids are pinned in the table
+    properties (``ivf.centroids``): they define the physical layout, so
+    appends must assign with exactly this set — ``ivf_lake_append``
+    reads them back rather than trusting a caller-passed copy. (A
+    production-sized centroid set would move to a sidecar file; at the
+    manifest scale here the JSON inline is simplest.)
     """
+    import json as _json
+
     from ..engine.lake import LakeTable
 
     assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, cluster_col="bucket")
@@ -148,10 +155,113 @@ def ivf_lake_build(
         # the bucket is the CLUSTER id, not a key hash — mark it so the
         # key-hash-deriving ops (lookup_keys/apply_epoch/rebucket) refuse
         # loudly instead of pruning to buckets the rows don't live in
-        properties={"bucketing": "custom"},
+        properties={
+            "bucketing": "custom",
+            "ivf.centroids": _json.dumps(centroids),
+            "ivf.vec_col": vec_col,
+            # appends probe for colliding ids via the key-hash machinery:
+            # khash-sorted row groups + per-file blooms make that probe
+            # prune instead of scanning the store (embedding order within
+            # a cluster file carries no other meaning)
+            "write.sort.cols": "khash",
+            "write.bloom": "all",
+        },
     )
     t.overwrite(assigned, epoch_id=epoch_id)
     return t
+
+
+def ivf_lake_append(
+    spark,
+    table,
+    df: DataFrame,
+    epoch_id: int,
+    id_col: str = "vec_id",
+) -> int:
+    """Append new embeddings to a cluster-bucketed IVF LakeTable — the
+    nightly-crawl regime (the ANN mirror of ``textdedup.dedup_incremental``):
+    the batch is assigned with the table's PINNED centroids and committed
+    as merge-on-read delta files per touched cluster, so the existing
+    store is never rewritten or re-clustered, and probes see the union
+    (base + deltas of the probed clusters merge on read; ``compact()``
+    folds them back to one file per cluster).
+
+    Semantics are upsert-by-id: a re-appearing ``id_col`` takes the new
+    batch's vector (last-writer-wins by commit order). An id whose NEW
+    vector assigns to a DIFFERENT cluster is a cross-bucket move — the
+    commit also writes a tombstone to the old cluster, or a bucket-pruned
+    probe of the old cluster would keep serving the stale version (the
+    same key-moves-bucket hazard the CDC merge avoids by deriving the
+    bucket from the key; the MoR merge breaks the same-commit
+    tombstone/upsert tie deterministically in the upsert's favor).
+    Finding the old cluster uses the key-hash machinery, not a scan:
+    per-file blooms + khash-sorted row groups prune the existence probe
+    to the files/row groups that can hold the batch ids — for a
+    genuinely-new-ids batch (the nightly-crawl norm) that is typically
+    zero data read. The batch must be unique on ``id_col`` — enforced,
+    because two versions of one id in the SAME epoch have no order.
+    Exactly-once: the lake epoch marker makes a retried ``epoch_id`` a
+    no-op, the same contract as the CDC tables. Returns the committed
+    manifest version."""
+    import json as _json
+
+    from ..engine.lake import MOR_OP_COL, LakeTable  # noqa: F401 (typing aid)
+    from ..functions.hashing import key_hash
+
+    m = table.manifest()
+    if "ivf.centroids" not in m.properties:
+        raise ValueError("not an IVF lake table (no pinned ivf.centroids property)")
+    if epoch_id in m.committed_epochs:
+        return m.version
+    cents = _json.loads(m.properties["ivf.centroids"])
+    vec_col = m.properties.get("ivf.vec_col", "embedding")
+    dup = (
+        df.groupBy(id_col).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append batch has duplicate {id_col}={dup[0][0]!r}; one row per "
+            "id per epoch (two versions in one epoch have no LWW order)"
+        )
+    assigned = ivf_assign(df, vec_col, cents, id_col=id_col, cluster_col="bucket")
+    schema_cols = [f.name for f in m.schema().fields]
+    rows = assigned.select(
+        *[F.col(c) for c in schema_cols], F.col("bucket")
+    ).withColumn(MOR_OP_COL, F.lit("upsert"))
+
+    # cross-bucket moves: where do colliding ids currently live? The
+    # khash-pruned read touches only candidate files (bloom/min-max at
+    # file level, pushed __khash IN at row-group level), exact after the
+    # id equi-join.
+    ids = df.select(F.col(id_col)).distinct()
+    hashes = [
+        int(r[0]) for r in ids.select(key_hash(id_col)).collect()
+    ]
+    existing = (
+        table.read(spark, key_hashes=hashes, version=m.version)
+        .select(F.col(id_col), F.col("bucket").alias("__old_bucket"))
+        .join(F.broadcast(ids), on=id_col, how="inner")
+    )
+    moved = (
+        existing.join(
+            rows.select(F.col(id_col), F.col("bucket").alias("__new_bucket")),
+            on=id_col,
+        )
+        .where(F.col("__old_bucket") != F.col("__new_bucket"))
+    )
+    tombstones = moved.select(
+        *[
+            F.col(id_col).alias(c) if c == id_col else F.lit(None).cast(
+                m.schema()[c].dataType
+            ).alias(c)
+            for c in schema_cols
+        ],
+        F.col("__old_bucket").alias("bucket"),
+        F.lit("delete").alias(MOR_OP_COL),
+    )
+    rows = rows.unionByName(tombstones)
+    buckets = [int(r[0]) for r in rows.select("bucket").distinct().collect()]
+    return table.commit_delta_buckets(rows, buckets, epoch_id, base_version=m.version)
 
 
 def ivf_lake_topk(

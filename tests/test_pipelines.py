@@ -238,6 +238,61 @@ def test_ivf_lake_probe_matches_and_prunes(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
 
 
+def test_ivf_lake_append_incremental(spark, tmp_path):
+    """The nightly-append regime: new embeddings land as MoR deltas per
+    cluster (pinned centroids — no re-clustering, no rewrite), probes
+    see the union, a re-appearing id upserts, retries no-op, and
+    compact() folds the deltas without changing results."""
+    import pytest
+
+    from etlbox_spark.operators.similarity import ivf_lake_append
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(e, "embedding", 8, iters=2)
+    base = e.where(F.col("vec_id") < 40)
+    rest = e.where(F.col("vec_id") >= 40)
+    t = ivf_lake_build(base, str(tmp_path / "ivfa"), "embedding", cents)
+
+    v1 = ivf_lake_append(spark, t, rest, epoch_id=2)
+    assert any(x.get("kind") == "delta" for x in t.manifest().files)
+    assert ivf_lake_append(spark, t, rest, epoch_id=2) == v1  # retry no-ops
+
+    # probe parity with the one-shot plain-DataFrame path over ALL rows
+    qv = [float(x) for x in e.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    direct = ivf_topk(ivf_assign(e, "embedding", cents), "embedding", qv, cents, k=5, n_probe=2)
+    via_lake = ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2)
+    expect = [tuple(r) for r in direct.collect()]
+    assert [tuple(r) for r in via_lake.collect()] == expect
+
+    # upsert-by-id with a cross-bucket MOVE: vec 7's new vector is vec
+    # 11's, which assigns to a different cluster — the append must
+    # tombstone the old cluster, or a bucket-pruned probe of it would
+    # keep serving the stale 1.0-similarity version forever
+    new7 = e.where(F.col("vec_id") == 11).select(
+        F.lit(7).cast("long").alias("vec_id"),
+        *[F.col(c) for c in e.columns if c != "vec_id"],
+    ).select(*e.columns)
+    ivf_lake_append(spark, t, new7, epoch_id=3)
+    assert t.read(spark).where(F.col("vec_id") == 7).count() == 1
+    stale = [
+        tuple(r)
+        for r in ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2).collect()
+        if r["vec_id"] == 7 and r["sim"] > 0.999
+    ]
+    assert not stale, "old cluster served the pre-upsert vector"
+
+    # duplicate ids within one batch have no LWW order -> refused
+    with pytest.raises(ValueError, match="duplicate"):
+        ivf_lake_append(spark, t, new7.unionByName(new7), epoch_id=4)
+
+    # compaction folds the deltas; the (post-upsert) probe is unchanged
+    before = [tuple(r) for r in ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2).collect()]
+    t.compact(spark)
+    assert not any(x.get("kind") == "delta" for x in t.manifest().files)
+    after = [tuple(r) for r in ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2).collect()]
+    assert after == before
+
+
 def test_ivf_lake_refuses_keyhash_deriving_ops(spark, tmp_path):
     """The IVF table's bucket is the CLUSTER id, not a key hash — the
     ops that derive buckets from keys (lookup_keys / apply_epoch /
