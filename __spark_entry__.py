@@ -867,15 +867,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         committed as a LakeTable whose BUCKET IS THE CLUSTER ID and the
         probe reads only the 2 nearest clusters' buckets via manifest
         file pruning (tests/test_pipelines.py asserts the pruned file
-        set; PLANS.md audits the scan). The oracle is unchanged from the
-        plain-DataFrame r03 row — the layout changes the I/O, never the
+        set; PLANS.md audits the scan). Round-4 addition: the store is
+        populated INCREMENTALLY — 3/4 of the vectors at build, the rest
+        through ``ivf_lake_append`` (MoR deltas per touched cluster,
+        exactly-once epoch) — so this row also proves the nightly-append
+        path end-to-end. The oracle is unchanged from the plain-DataFrame
+        r03 row — assignment depends only on the (identically trained)
+        centroids, so WHEN a vector arrived changes the I/O, never the
         result."""
-        from etlbox_spark.operators.similarity import ivf_lake_build, ivf_lake_topk, kmeans_centroids
+        from etlbox_spark.operators.similarity import (
+            ivf_lake_append,
+            ivf_lake_build,
+            ivf_lake_topk,
+            kmeans_centroids,
+        )
 
         e = _t(spark, sf, "embeddings")
         cents = kmeans_centroids(e, "embedding", 8, iters=2)
         qv = [float(x) for x in e.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
-        t = ivf_lake_build(e, _scratch("ivf_lake") + "/emb", "embedding", cents)
+        t = ivf_lake_build(
+            e.where(F.col("vec_id") % 4 != 0), _scratch("ivf_lake") + "/emb",
+            "embedding", cents,
+        )
+        ivf_lake_append(spark, t, e.where(F.col("vec_id") % 4 == 0), epoch_id=2)
         return ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2).select(
             "vec_id", F.round("sim", 6).alias("sim")
         )
