@@ -179,6 +179,15 @@ def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None
             raise ValueError(f"write.bloom must be 'delta', 'all' or 'none', got {v!r}")
         if k == "bucketing" and v not in ("khash", "custom"):
             raise ValueError(f"bucketing must be 'khash' or 'custom', got {v!r}")
+        if k.startswith("tag."):
+            if len(k) <= 4:
+                raise ValueError("tag name must be non-empty")
+            try:
+                n = int(v)
+            except (TypeError, ValueError):
+                raise ValueError(f"{k} must be a snapshot version int, got {v!r}") from None
+            if n < 0:
+                raise ValueError(f"{k} must be >= 0, got {v!r}")
         if k == "write.sort.cols":
             spec = str(v).strip()
             if spec not in ("none", "khash"):
@@ -488,8 +497,11 @@ class LakeTable:
         version: int | None = None,
         with_bucket: bool = True,
         key_hashes: list[int] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read a snapshot, pruned to ``buckets`` if given.
+        """Read a snapshot, pruned to ``buckets`` if given. ``tag``
+        addresses a named snapshot (see ``tag()``); mutually exclusive
+        with ``version``.
 
         Pruning happens here, against the manifest's file list — Spark
         never even sees files of untouched buckets (manifest-level
@@ -502,6 +514,10 @@ class LakeTable:
         path with zero merge cost; ``compact()`` restores every bucket to
         the plain path.
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            version = self.resolve_tag(tag)
         m = self.manifest(version)
         entries = m.files
         if buckets is not None:
@@ -1061,6 +1077,61 @@ class LakeTable:
             if self._publish(nm):
                 return nm.version
 
+    # ------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a retained snapshot under a name (Iceberg tag / named-ref
+        analog): ``read(tag=...)`` and ``rollback(t.tags()[name])``
+        address it, and **vacuum retains tagged versions** regardless of
+        ``keep_versions`` — the durable form of the time-travel window.
+
+        Stored as a ``tag.<name>`` table property, so tagging is an
+        auditable ``set_properties`` CAS commit, tags ride forward with
+        every subsequent commit automatically, and concurrent writers
+        serialize through the ordinary manifest protocol. The tag-vs-
+        vacuum race uses rollback's machinery: a ``_restore-intent``
+        marker pins the target while the property commit is in flight,
+        and the unavoidable marker-listing residue is caught by a
+        post-publish file re-check that UNTAGS before raising."""
+        v = self.latest_version() if version is None else int(version)
+        with self._restore_intent(v):
+            try:
+                tgt = self.manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {v} does not exist or is not retained (vacuumed?)"
+                ) from None
+            out = self.set_properties({f"tag.{name}": v})
+            missing = [
+                e["path"]
+                for e in tgt.files
+                if not os.path.exists(os.path.join(self.root, e["path"]))
+            ]
+            if missing:
+                self.untag(name)
+                raise ValueError(
+                    f"tag {name!r} raced a vacuum that reclaimed "
+                    f"{len(missing)} of v{v}'s data file(s); the tag was removed"
+                )
+            return out
+
+    def untag(self, name: str) -> int:
+        """Drop a tag; the next vacuum may reclaim the version it pinned
+        (subject to ``keep_versions`` as usual)."""
+        return self.set_properties(unset=[f"tag.{name}"])
+
+    def tags(self) -> dict[str, int]:
+        return {
+            k[4:]: int(v)
+            for k, v in self.manifest().properties.items()
+            if k.startswith("tag.")
+        }
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"unknown tag {name!r} (have: {sorted(t)})")
+        return t[name]
+
     def rollback(self, to_version: int) -> int:
         """RESTORE TABLE ... VERSION AS OF analog (Delta RESTORE /
         Iceberg rollback): publish a NEW manifest whose content — files,
@@ -1353,9 +1424,10 @@ class LakeTable:
         them. Markers older than ``inflight_max_age_s`` are crashed
         writers' leftovers: swept, so they can't block vacuum forever.
         (3) a live ``_restore-intent.{v}.*`` marker (an in-flight
-        ``rollback``) adds version ``v`` to the kept set — its OLD files
-        are what the rollback is about to re-reference, and no mtime
-        guard can protect old files.
+        ``rollback`` or ``tag``) adds version ``v`` to the kept set — its
+        OLD files are what the rollback is about to re-reference, and no
+        mtime guard can protect old files. (4) ``tag.*`` properties on
+        the latest manifest pin their versions durably until untagged.
 
         Readers pinned to an expired snapshot (e.g. a long job that
         called ``read(version=...)`` on a version outside the kept
@@ -1366,6 +1438,13 @@ class LakeTable:
 
         latest = self.latest_version()
         keep = set(range(max(0, latest - keep_versions + 1), latest + 1))
+        # tags are durable pins: a tag.<name> property on the LATEST
+        # manifest retains its version (manifest + files) past the
+        # keep_versions window until untagged
+        for k, v in self.manifest(latest).properties.items():
+            if k.startswith("tag."):
+                with contextlib.suppress(TypeError, ValueError):
+                    keep.add(int(v))
         cutoff = (
             os.path.getmtime(os.path.join(self._meta_dir, f"v{latest}.json")) - grace_s
         )

@@ -554,6 +554,51 @@ def test_vacuum_honors_restore_intent_marker(spark, tmp_path):
     assert not os.path.exists(marker2)
 
 
+def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_path):
+    """Iceberg-tag analog: a tagged version is readable by name, rides
+    forward through later commits, survives vacuum past keep_versions,
+    and becomes reclaimable after untag."""
+    import os
+
+    t = _mk(tmp_path)
+    states = []
+    for e in range(3):
+        df = _rows_df(spark, [("r0", "p1", f"c{e}", "py", f"V{e}")])
+        t.commit_buckets(
+            df, [r[0] for r in df.select(BUCKET_COL).distinct().collect()], epoch_id=e
+        )
+        states.append({(r.repo, r.path, r.content) for r in t.read(spark).collect()})
+    t.tag("golden", 1)
+    assert t.tags() == {"golden": 1}
+    # the tag rides forward through a later commit
+    df = _rows_df(spark, [("r0", "p1", "c9", "py", "V9")])
+    t.commit_buckets(df, [r[0] for r in df.select(BUCKET_COL).distinct().collect()], epoch_id=9)
+    assert t.tags() == {"golden": 1}
+    assert {
+        (r.repo, r.path, r.content) for r in t.read(spark, tag="golden").collect()
+    } == states[0]
+
+    # vacuum keeps the tagged version's manifest AND files past the window
+    tagged_files = [e["path"] for e in t.manifest(1).files]
+    t.vacuum(keep_versions=1)
+    assert all(os.path.exists(os.path.join(t.root, p)) for p in tagged_files)
+    assert {
+        (r.repo, r.path, r.content) for r in t.read(spark, tag="golden").collect()
+    } == states[0]
+
+    # untag -> the next vacuum reclaims it; reads by the dead tag fail loudly
+    t.untag("golden")
+    t.vacuum(keep_versions=1)
+    assert not all(os.path.exists(os.path.join(t.root, p)) for p in tagged_files)
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.read(spark, tag="golden")
+    # tagging an unretained version fails loudly too
+    with pytest.raises(ValueError, match="not retained"):
+        t.tag("back", 1)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=0, tag="x")
+
+
 def test_rollback_reverts_when_racing_vacuum_won(spark, tmp_path, monkeypatch):
     """The unavoidable residue window: a vacuum that listed markers just
     before the intent appeared can reclaim the target's files between
