@@ -358,11 +358,20 @@ class LakeTable:
             # v0.json link and the first pointer write): no pointer means
             # create() never returned, so no caller could have committed
             # data — the orphan v0 is safe to discard and re-create with
-            # THIS call's schema. Only when v0 is the sole manifest:
-            # anything past v0 without a pointer is a dropped table.
+            # THIS call's schema. Only when v0 is the sole manifest
+            # (anything past v0 without a pointer is a dropped table)
+            # AND it has AGED past any live creator's link→pointer
+            # window: healing a fresh v0 would delete a CONCURRENT
+            # create's just-won CAS out from under it (that window is
+            # microseconds; 60 s is conservative).
             if manifests == ["v0.json"]:
-                os.remove(os.path.join(t._meta_dir, "v0.json"))
-                manifests = []
+                p0 = os.path.join(t._meta_dir, "v0.json")
+                import time as _time
+
+                with contextlib.suppress(OSError):
+                    if _time.time() - os.path.getmtime(p0) > 60.0:
+                        os.remove(p0)
+                        manifests = []
             # a dropped table leaves meta/v*.json + data behind (drop
             # removes only the pointer); creating a NEW table over them
             # would publish v0 while manifest(v) time travel still
@@ -480,12 +489,17 @@ class LakeTable:
         out = []
         for e in entries:
             lo, hi = e.get("khash_min"), e.get("khash_max")
+            cand = hs
             if lo is not None and hi is not None:
                 i = bisect.bisect_left(hs, lo)
                 if i >= len(hs) or hs[i] > hi:
                     continue
+                # only in-range hashes can be members (min/max are exact
+                # footer stats) — probing the bloom with the slice costs
+                # a fraction of the full list on wide probe sets
+                cand = hs[i:bisect.bisect_right(hs, hi)]
             bloom = e.get("khash_bloom")
-            if bloom is not None and not _bloom_may_contain(bloom, hs):
+            if bloom is not None and not _bloom_may_contain(bloom, cand):
                 continue
             out.append(e)
         return out
@@ -1101,16 +1115,29 @@ class LakeTable:
                     f"version {v} does not exist or is not retained (vacuumed?)"
                 ) from None
             out = self.set_properties({f"tag.{name}": v})
+            # the tag addresses the MANIFEST as well as the files: a
+            # racing vacuum may have deleted v{v}.json (e.g. when every
+            # intervening commit shared v{v}'s file list, so zero data
+            # files were reclaimable) — a tag naming a deleted manifest
+            # would fail every read forever while vacuum silently drops
+            # the pin
             missing = [
                 e["path"]
                 for e in tgt.files
                 if not os.path.exists(os.path.join(self.root, e["path"]))
             ]
-            if missing:
+            if missing or not os.path.exists(
+                os.path.join(self._meta_dir, f"v{v}.json")
+            ):
                 self.untag(name)
+                what = (
+                    f"{len(missing)} of v{v}'s data file(s)"
+                    if missing
+                    else f"v{v}'s manifest"
+                )
                 raise ValueError(
-                    f"tag {name!r} raced a vacuum that reclaimed "
-                    f"{len(missing)} of v{v}'s data file(s); the tag was removed"
+                    f"tag {name!r} raced a vacuum that reclaimed {what}; "
+                    "the tag was removed"
                 )
             return out
 
@@ -1242,10 +1269,17 @@ class LakeTable:
         """Undo a just-published rollback whose target files turned out
         reclaimed: publish a forward commit restoring the PRE-rollback
         content (those files were the then-latest snapshot's, which any
-        racing vacuum retained by definition). CAS loop because an epoch
-        writer may take a version in between (it would conflict on the
-        rollback and fail its own commit, but may still have burned the
-        version number)."""
+        racing vacuum retained by definition).
+
+        Reverts ONLY while nothing has committed on top of the published
+        rollback — a writer that based itself on the rollback (its
+        ``base_version`` IS the rollback, so ``_rebase_epoch`` never saw
+        a conflict) has already told ITS caller the epoch committed, and
+        blindly restoring ``pre`` would erase that epoch's rows and
+        markers. In that mixed state (rolled-back content with missing
+        files plus a newer commit on top) we raise with the facts and
+        leave resolution to the operator — there is no automatic answer
+        that doesn't silently drop someone's acknowledged commit."""
         while True:
             cur = self.manifest()
             if (
@@ -1254,6 +1288,14 @@ class LakeTable:
                 and cur.current_schema_version == pre.current_schema_version
             ):
                 return
+            if cur.version > published.version:
+                raise ValueError(
+                    f"rollback v{published.version} references vacuumed files "
+                    f"AND commit(s) landed on top of it (latest v{cur.version}); "
+                    f"cannot auto-revert without erasing them — restore "
+                    f"manually (e.g. rollback({pre.version}) after auditing "
+                    "the newer commits)"
+                )
             nm = Manifest(
                 version=cur.version + 1,
                 key_cols=pre.key_cols,
@@ -1499,19 +1541,27 @@ class LakeTable:
                         os.remove(p)
                     stats["files_deleted"] += 1
         for fn in os.listdir(self._meta_dir):
+            # crashed-publish temp files (v{N}.json.tmp.{hex}) age out
+            # with the same cutoff as data files (checked BEFORE the
+            # .json parse — their suffix fails endswith('.json'))
+            if fn.startswith("v") and ".json.tmp." in fn:
+                if not dry_run:
+                    p = os.path.join(self._meta_dir, fn)
+                    with contextlib.suppress(OSError):
+                        if os.path.getmtime(p) < cutoff:
+                            os.remove(p)
+                continue
             if fn.startswith("v") and fn.endswith(".json"):
                 try:
                     v = int(fn[1:-5])
                 except ValueError:
-                    # crashed-publish temp files (v{N}.json.tmp.*) age
-                    # out with the same cutoff as data files
-                    if ".json.tmp." in fn and not dry_run:
-                        p = os.path.join(self._meta_dir, fn)
-                        with contextlib.suppress(OSError):
-                            if os.path.getmtime(p) < cutoff:
-                                os.remove(p)
                     continue
-                if v not in keep:
+                # NEVER touch manifests newer than the latest this vacuum
+                # snapshotted: a concurrent commit (epoch, compact, tag,
+                # rollback) may have published v{latest+1} mid-run, and
+                # deleting it would erase a committed transaction and
+                # leave the pointer naming a missing manifest
+                if v not in keep and v <= latest:
                     if not dry_run:
                         os.remove(os.path.join(self._meta_dir, fn))
                     stats["manifests_deleted"] += 1

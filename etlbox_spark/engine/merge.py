@@ -29,6 +29,7 @@ Scale design (the part that must survive 10^10 events / 100 TB tables):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -247,15 +248,27 @@ def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
             kept += 1
     qroot = os.path.join(delta_dir, "_quarantine")
     if os.path.isdir(qroot):
+        import time as _time
+
+        now = _time.time()
         for name in sorted(os.listdir(qroot)):
-            # in-flight quarantine dirs below the cutoff are crashed
-            # attempts that were never retried — unreachable garbage
-            # (a retry overwrites them; a commit renames them away)
-            if name.startswith("epoch=") or name.startswith("_inflight-epoch-"):
-                ep = int(name.rsplit("=", 1)[-1].rsplit("-", 1)[-1])
-                if ep < before_epoch:
+            if name.startswith("epoch="):
+                if int(name.split("=", 1)[1]) < before_epoch:
                     shutil.rmtree(os.path.join(qroot, name))
                     removed += 1
+            elif name.startswith("_inflight-epoch-"):
+                # crashed attempts' in-flight dirs are garbage ONLY once
+                # aged: a LIVE retry of an old epoch may be mid-write or
+                # about to rename this very dir (the same reason the
+                # delta log's own in-flight dirs are left alone), so
+                # sweep on (below-cutoff AND older than a day), never on
+                # epoch number alone
+                p = os.path.join(qroot, name)
+                ep = int(name.rsplit("-", 1)[-1])
+                with contextlib.suppress(OSError):
+                    if ep < before_epoch and now - os.path.getmtime(p) > 86400.0:
+                        shutil.rmtree(p)
+                        removed += 1
     return {"removed": removed, "kept": kept}
 
 

@@ -215,6 +215,14 @@ def ivf_lake_append(
         return m.version
     cents = _json.loads(m.properties["ivf.centroids"])
     vec_col = m.properties.get("ivf.vec_col", "embedding")
+    # align the batch to the table schema FIRST — xxhash64 hashes int and
+    # long differently (the width hazard apply_epoch/lookup_keys already
+    # guard), so a batch arriving with e.g. an int id would probe the
+    # wrong hashes, silently skip the cross-bucket tombstone, and write
+    # physically narrower parquet than _read_aligned's declared schema
+    from ..engine.merge import align_to_schema
+
+    df = align_to_schema(df, m.schema())
     dup = (
         df.groupBy(id_col).count().where(F.col("count") > 1).limit(1).collect()
     )
@@ -237,8 +245,14 @@ def ivf_lake_append(
     hashes = [
         int(r[0]) for r in ids.select(key_hash(id_col)).collect()
     ]
+    # the hash set is bounded metadata (8 bytes/id), but pushing it as a
+    # literal `__khash IN (...)` and probing every file's bloom with it
+    # stops paying past ~tens of thousands of ids (plan blowup + driver
+    # bloom loops) — beyond that, fall back to the plain pruned read and
+    # let the id equi-join do the filtering
+    khash_probe = hashes if len(hashes) <= 50_000 else None
     existing = (
-        table.read(spark, key_hashes=hashes, version=m.version)
+        table.read(spark, key_hashes=khash_probe, version=m.version)
         .select(F.col(id_col), F.col("bucket").alias("__old_bucket"))
         .join(F.broadcast(ids), on=id_col, how="inner")
     )

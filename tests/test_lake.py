@@ -190,9 +190,17 @@ def test_create_heals_hard_crashed_create(spark, tmp_path):
     returned, so no data exists and the retry may self-heal."""
     import os
 
+    import time
+
     t = _mk(tmp_path, "crashed")
     os.remove(t._pointer_path())  # simulate the crash window
     assert not LakeTable(t.root).exists()
+    v0 = os.path.join(t._meta_dir, "v0.json")
+    # a FRESH v0 might be a concurrent creator mid-CAS — refuse
+    with pytest.raises(FileExistsError, match="stale"):
+        LakeTable.create(t.root, REPO_FILES_SCHEMA, ["repo", "path"], 8)
+    # once it has aged past any live link->pointer window, self-heal
+    os.utime(v0, (time.time() - 120, time.time() - 120))
     t2 = LakeTable.create(t.root, REPO_FILES_SCHEMA, ["repo", "path"], 8)
     assert t2.exists() and t2.manifest().version == 0
     # but a table that COMMITTED anything still refuses (covered above in

@@ -138,13 +138,27 @@ def test_quarantine_invisible_until_commit_no_phantoms(spark, tmp_path):
     assert read_quarantine(spark, d).count() == 0  # in-flight is invisible
 
     # upstream fixed the feed; the retry of epoch 0 is clean and commits —
-    # the crashed attempt's rows must not linger as phantoms
+    # the crashed attempt's rows must not linger as phantoms (the clean
+    # retry's own overwrite clears the stale in-flight dir)
     df_ok = spark.createDataFrame(_GOOD, _NULLABLE_EVENTS)
     apply_epoch(spark, t, df_ok, spec, MergeMode.DELTA, 0, delta_dir=d)
     assert read_quarantine(spark, d).count() == 0
-    # ... though the stale in-flight dir itself is retention's job
-    expire_changes(d, before_epoch=1)
     assert not os.path.exists(os.path.join(d, "_quarantine", "_inflight-epoch-0"))
+
+    # a crashed attempt that is NEVER retried is retention's job — and
+    # only once AGED (a live retry of an old epoch may be mid-write, the
+    # delta log's own in-flight rule): fresh dirs survive the sweep
+    import time
+
+    _route_malformed(spark, d, df_bad, spec, 5)  # crashed, never retried
+    inflight = os.path.join(d, "_quarantine", "_inflight-epoch-5")
+    assert os.path.exists(inflight)
+    expire_changes(d, before_epoch=6)
+    assert os.path.exists(inflight)  # fresh -> spared
+    old = time.time() - 2 * 86400
+    os.utime(inflight, (old, old))
+    expire_changes(d, before_epoch=6)
+    assert not os.path.exists(inflight)  # aged -> swept
 
     # a committed epoch WITH bad rows becomes visible atomically
     apply_epoch(spark, t, df_bad, spec, MergeMode.DELTA, 1, delta_dir=d)
