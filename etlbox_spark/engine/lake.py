@@ -1023,6 +1023,79 @@ class LakeTable:
         all_buckets = list(range(m.n_buckets))
         return self.commit_buckets(df, all_buckets, epoch_id, base_version=m.version)
 
+    def delete_where(self, spark: SparkSession, condition) -> dict[str, int]:
+        """Row-level DELETE FROM ... WHERE analog (Delta DELETE /
+        GDPR-erasure maintenance verb) — the one content change the
+        event-driven merge deliberately doesn't cover: removing rows by
+        PREDICATE rather than by key-addressed tombstone events.
+
+        Rewrites only the buckets holding matching rows (untouched
+        buckets carry over by reference); MoR backlogs of touched
+        buckets fold in the same rewrite (the survivors are materialized
+        from the merged view, like ``compact``). SQL NULL semantics:
+        rows where the condition is NULL are KEPT (DELETE removes rows
+        where it is TRUE).
+
+        This is an operator verb, not an epoch: no epoch marker is
+        stamped (replay idempotence is about re-delivered events — a
+        predicate delete is a one-shot administrative action, revertable
+        via ``rollback``), and a CONCURRENT epoch commit conflicts
+        loudly via ``_rebase_epoch`` (operation "delete" is not a
+        logical no-op) instead of landing on pre-delete state. A lost
+        CAS recomputes from the new snapshot, like ``compact``.
+
+        Returns {rows_deleted, buckets_rewritten, version}.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _attempt in range(5):
+            m = self.manifest()
+            full = self.read(spark, version=m.version)
+            hit = sorted(
+                int(r[0])
+                for r in full.where(cond).select(BUCKET_COL).distinct().collect()
+            )
+            if not hit:
+                return {"rows_deleted": 0, "buckets_rewritten": 0, "version": m.version}
+            with self._inflight_guard():
+                touched = self.read(spark, buckets=hit, version=m.version)
+                survivors = touched.where(~F.coalesce(cond, F.lit(False)))
+                n_deleted = touched.count() - survivors.count()
+                new_ver = m.version + 1
+                entries = self._write_data(
+                    survivors,
+                    f"delete-v{new_ver}-{uuid.uuid4().hex[:6]}",
+                    m.key_cols,
+                    properties=m.properties,
+                )
+                for e in entries:
+                    e["schema_version"] = m.current_schema_version
+                    if e["bucket"] not in set(hit):
+                        raise RuntimeError(
+                            f"delete rewrote bucket {e['bucket']} outside hit set"
+                        )
+                keep = [e for e in m.files if e["bucket"] not in set(hit)]
+                nm = Manifest(
+                    version=new_ver,
+                    key_cols=m.key_cols,
+                    n_buckets=m.n_buckets,
+                    current_schema_version=m.current_schema_version,
+                    schemas=dict(m.schemas),
+                    files=keep + entries,
+                    committed_epochs=list(m.committed_epochs),
+                    parent=m.version,
+                    properties=m.properties,
+                    operation="delete",
+                )
+                if self._publish(nm):
+                    return {
+                        "rows_deleted": int(n_deleted),
+                        "buckets_rewritten": len(hit),
+                        "version": new_ver,
+                    }
+            # lost the CAS (e.g. an epoch landed) — the matched set may
+            # have changed: recompute from the new snapshot
+        raise ConcurrentCommitError("delete_where lost the publish CAS 5 times")
+
     def truncate(self, epoch_id: int) -> int:
         """TruncateTableTask analog: new empty snapshot. A lost CAS just
         retries on the newer snapshot — truncate serializes last."""

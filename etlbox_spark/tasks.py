@@ -62,6 +62,14 @@ def rollback_table_task(root: str, to_version: int) -> int:
     return LakeTable.load(root).rollback(to_version)
 
 
+def delete_where_task(spark: SparkSession, root: str, condition: str) -> dict:
+    """DELETE FROM <table> WHERE <condition> analog: rewrites only the
+    buckets holding matching rows (SQL NULL semantics — NULL-condition
+    rows are kept); revertable via ``rollback_table_task``. Returns
+    {rows_deleted, buckets_rewritten, version}."""
+    return LakeTable.load(root).delete_where(spark, condition)
+
+
 def create_view_task(
     spark: SparkSession, root: str, view_name: str, version: int | None = None
 ) -> DataFrame:

@@ -83,6 +83,84 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert stats2["files_deleted"] == 0 and stats2["manifests_deleted"] == 0
 
 
+def test_delete_where_rewrites_only_hit_buckets(spark, tmp_path):
+    """DELETE FROM ... WHERE analog: matching rows vanish, untouched
+    buckets carry over by file reference, NULL-condition rows are kept
+    (SQL semantics), a no-match delete is a zero-cost no-op, and
+    rollback reverts the whole thing."""
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    _apply_n_epochs(spark, t)
+    pre_state = _state(spark, t)
+    pre_files = {e["path"] for e in t.manifest().files}
+    pre_v = t.latest_version()
+
+    res = t.delete_where(spark, "path LIKE 'p1_%'")  # epoch 1's three rows
+    assert res["rows_deleted"] == 3 and res["buckets_rewritten"] >= 1
+    got = _state(spark, t)
+    assert got == {k: v for k, v in pre_state.items() if not k[1].startswith("p1_")}
+    # untouched buckets' files carried over by reference
+    assert any(e["path"] in pre_files for e in t.manifest().files)
+    assert t.manifest().operation == "delete"
+
+    # NULL-condition rows are KEPT: commit IS NULL only for... use a
+    # condition NULL for every row to prove nothing is deleted
+    res2 = t.delete_where(spark, "CAST(NULL AS BOOLEAN)")
+    assert res2["rows_deleted"] == 0 and t.latest_version() == res["version"]
+
+    # rollback reverts the delete wholesale
+    t.rollback(pre_v)
+    assert _state(spark, t) == pre_state
+
+
+def test_delete_where_folds_mor_backlog(spark, tmp_path):
+    """Deleting from a MoR bucket materializes the merged survivors —
+    the rewritten bucket's delta backlog folds away like compact."""
+    t = LakeTable.create(
+        str(tmp_path / "m"), REPO_FILES_SCHEMA, ["repo", "path"], 2,
+        properties={"write.mode": "mor"},
+    )
+    _apply_n_epochs(spark, t)
+    assert any(e.get("kind") == "delta" for e in t.manifest().files)
+    pre = _state(spark, t)
+    res = t.delete_where(spark, "content = 'v2_1'")
+    assert res["rows_deleted"] == 1
+    # the hit bucket's delta backlog folded into the rewritten base
+    from etlbox_spark.functions.hashing import bucket_expr
+    from pyspark.sql import functions as F
+
+    hit_b = int(
+        spark.createDataFrame([("r0", "p2_1")], "repo string, path string")
+        .select(bucket_expr(2, "repo", "path"))
+        .collect()[0][0]
+    )
+    assert not any(
+        e.get("kind") == "delta" and e["bucket"] == hit_b for e in t.manifest().files
+    )
+    assert _state(spark, t) == {k: v for k, v in pre.items() if v[0] != "v2_1"}
+
+
+def test_delete_where_conflicts_with_concurrent_epoch(spark, tmp_path):
+    """An epoch commit racing a delete must conflict loudly, never land
+    on pre-delete state (operation 'delete' is not rebase-able)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etlbox_spark.engine.lake import ConcurrentCommitError
+    from etlbox_spark.functions.hashing import bucket_expr
+
+    t = LakeTable.create(str(tmp_path / "c"), REPO_FILES_SCHEMA, ["repo", "path"], 2)
+    _apply_n_epochs(spark, t, n=2)
+    base_v = t.latest_version()
+    # rows classified against base_v's snapshot...
+    df = spark.createDataFrame(
+        [("r0", "px", "c", "py", "late")], REPO_FILES_SCHEMA
+    ).withColumn("bucket", bucket_expr(2, "repo", "path"))
+    # ...but the delete lands first
+    t.delete_where(spark, "content = 'v0_0'")
+    with pytest.raises(ConcurrentCommitError, match="delete"):
+        t.commit_buckets(df, [0, 1], epoch_id=50, base_version=base_v)
+
+
 def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
     """VACUUM DRY RUN analog: identical counts, zero side effects — every
     file, manifest and marker survives; the subsequent real vacuum
