@@ -1676,3 +1676,66 @@ class LakeTable:
                 }
             )
         return out
+
+    # ----------------------------------------------------- metadata tables
+    _FILES_DF_SCHEMA = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("rows", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("schema_version", T.IntegerType(), True),
+            T.StructField("khash_min", T.LongType(), True),
+            T.StructField("khash_max", T.LongType(), True),
+            T.StructField("has_bloom", T.BooleanType(), False),
+            T.StructField("size_bytes", T.LongType(), True),
+        ]
+    )
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Iceberg ``table.files`` metadata-table analog: the snapshot's
+        manifest entries as a DataFrame (bounded metadata — one row per
+        live data file, no data scan), SQL-addressable via
+        ``createOrReplaceTempView``. The operator's window into layout
+        health: delta backlog per bucket (``kind='delta'``), row/size
+        skew across buckets, pruning-stat coverage."""
+        m = self.manifest(version)
+        rows = []
+        for e in m.files:
+            p = os.path.join(self.root, e["path"])
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = None
+            rows.append(
+                (
+                    e["path"],
+                    int(e["bucket"]),
+                    int(e["rows"]),
+                    e.get("kind", "base"),
+                    e.get("schema_version"),
+                    e.get("khash_min"),
+                    e.get("khash_max"),
+                    "khash_bloom" in e,
+                    size,
+                )
+            )
+        return spark.createDataFrame(rows, self._FILES_DF_SCHEMA)
+
+    _HISTORY_DF_SCHEMA = T.StructType(
+        [
+            T.StructField("version", T.IntegerType(), False),
+            T.StructField("operation", T.StringType(), False),
+            T.StructField("parent", T.IntegerType(), True),
+            T.StructField("n_files", T.IntegerType(), False),
+            T.StructField("total_rows", T.LongType(), False),
+            T.StructField("n_epochs", T.IntegerType(), False),
+            T.StructField("schema_version", T.IntegerType(), False),
+            T.StructField("n_buckets", T.IntegerType(), False),
+        ]
+    )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE HISTORY`` as a DataFrame (see ``history()``)."""
+        rows = [tuple(h[f.name] for f in self._HISTORY_DF_SCHEMA.fields) for h in self.history()]
+        return spark.createDataFrame(rows, self._HISTORY_DF_SCHEMA)

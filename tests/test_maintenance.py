@@ -139,6 +139,37 @@ def test_delete_where_folds_mor_backlog(spark, tmp_path):
     assert _state(spark, t) == {k: v for k, v in pre.items() if v[0] != "v2_1"}
 
 
+def test_metadata_tables(spark, tmp_path):
+    """files_df / history_df: the manifest as SQL-addressable metadata
+    tables (Iceberg table.files / DESCRIBE HISTORY analog) — counts
+    agree with the manifest, no data scan involved."""
+    t = LakeTable.create(
+        str(tmp_path / "meta"), REPO_FILES_SCHEMA, ["repo", "path"], 2,
+        properties={"write.mode": "mor"},
+    )
+    _apply_n_epochs(spark, t, n=3)
+    m = t.manifest()
+    fdf = t.files_df(spark)
+    assert fdf.count() == len(m.files)
+    assert fdf.where("kind = 'delta'").count() == sum(
+        1 for e in m.files if e.get("kind") == "delta"
+    )
+    assert fdf.where("has_bloom").count() > 0  # MoR deltas carry blooms
+    assert fdf.where("size_bytes IS NULL").count() == 0
+    # SQL face: per-bucket backlog query
+    fdf.createOrReplaceTempView("t_files")
+    backlog = spark.sql(
+        "SELECT bucket, count(*) AS n FROM t_files WHERE kind='delta' GROUP BY bucket"
+    ).collect()
+    assert sum(r["n"] for r in backlog) == fdf.where("kind='delta'").count()
+
+    hdf = t.history_df(spark)
+    assert hdf.count() == len(t.history())
+    assert [r["version"] for r in hdf.orderBy("version").collect()] == sorted(
+        h["version"] for h in t.history()
+    )
+
+
 def test_delete_where_conflicts_with_concurrent_epoch(spark, tmp_path):
     """An epoch commit racing a delete must conflict loudly, never land
     on pre-delete state (operation 'delete' is not rebase-able)."""
