@@ -94,6 +94,15 @@ def test_time_travel_view(spark, tmp_path):
         spark, "SELECT content FROM rf_v1 WHERE path = 'p2'") == "Test2"
 
 
+def test_delete_where_task(spark, tmp_path):
+    from etlbox_spark.tasks import delete_where_task
+
+    t = _seeded(spark, tmp_path)
+    res = delete_where_task(spark, t.root, "content = 'Test2'")
+    assert res["rows_deleted"] == 1
+    assert row_count_task(t.root) == 2
+
+
 def test_load_process_journal(tmp_path):
     lp = LoadProcess(str(tmp_path / "log" / "loads.jsonl"), "nightly_merge")
     lp.start(epoch=7).end(rows_in=100, rows_out=98)
