@@ -1044,57 +1044,112 @@ class LakeTable:
         logical no-op) instead of landing on pre-delete state. A lost
         CAS recomputes from the new snapshot, like ``compact``.
 
+        Non-deterministic predicates (rand(), uuid()) are REJECTED — the
+        condition is evaluated by more than one job, so a
+        non-deterministic one could write survivors that disagree with
+        the hit scan (Delta's DELETE has the same rule). Predicates on
+        query-time functions (current_timestamp) pass Spark's
+        determinism check but still re-evaluate per job — pass the
+        boundary as a literal instead.
+
+        Change-feed caveat (same as Delta DELETE + CDF, and rollback's):
+        no change events are emitted — downstream mirrors built from
+        ``read_changes``/``stream_changes`` do NOT see the erasure and
+        must be erased through their own process; for key-addressed
+        deletions that must propagate, feed tombstone EVENTS through the
+        merge instead.
+
         Returns {rows_deleted, buckets_rewritten, version}.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
         for _attempt in range(5):
             m = self.manifest()
             full = self.read(spark, version=m.version)
+            matched = full.where(cond)
+            if not matched._jdf.queryExecution().analyzed().deterministic():
+                raise ValueError(
+                    "delete_where requires a deterministic condition "
+                    "(rand()/uuid()-style predicates evaluate differently "
+                    "in the hit scan and the survivor write)"
+                )
             hit = sorted(
                 int(r[0])
-                for r in full.where(cond).select(BUCKET_COL).distinct().collect()
+                for r in matched.select(BUCKET_COL).distinct().collect()
             )
             if not hit:
                 return {"rows_deleted": 0, "buckets_rewritten": 0, "version": m.version}
-            with self._inflight_guard():
-                touched = self.read(spark, buckets=hit, version=m.version)
-                survivors = touched.where(~F.coalesce(cond, F.lit(False)))
-                n_deleted = touched.count() - survivors.count()
-                new_ver = m.version + 1
-                entries = self._write_data(
-                    survivors,
-                    f"delete-v{new_ver}-{uuid.uuid4().hex[:6]}",
-                    m.key_cols,
-                    properties=m.properties,
-                )
-                for e in entries:
-                    e["schema_version"] = m.current_schema_version
-                    if e["bucket"] not in set(hit):
-                        raise RuntimeError(
-                            f"delete rewrote bucket {e['bucket']} outside hit set"
-                        )
-                keep = [e for e in m.files if e["bucket"] not in set(hit)]
-                nm = Manifest(
-                    version=new_ver,
-                    key_cols=m.key_cols,
-                    n_buckets=m.n_buckets,
-                    current_schema_version=m.current_schema_version,
-                    schemas=dict(m.schemas),
-                    files=keep + entries,
-                    committed_epochs=list(m.committed_epochs),
-                    parent=m.version,
-                    properties=m.properties,
-                    operation="delete",
-                )
-                if self._publish(nm):
-                    return {
-                        "rows_deleted": int(n_deleted),
-                        "buckets_rewritten": len(hit),
-                        "version": new_ver,
-                    }
+            touched = self.read(spark, buckets=hit, version=m.version)
+            survivors = touched.where(~F.coalesce(cond, F.lit(False)))
+            n_before = touched.count()
+            res = self._rewrite_buckets(
+                m,
+                hit,
+                survivors,
+                f"delete-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
+                "delete",
+            )
+            if res is not None:
+                new_ver, entries = res
+                # the survivor count comes free from the footers the
+                # write already read — no second scan+merge of the hit
+                # buckets just to count
+                n_after = sum(int(e["rows"]) for e in entries)
+                return {
+                    "rows_deleted": int(n_before - n_after),
+                    "buckets_rewritten": len(hit),
+                    "version": new_ver,
+                }
             # lost the CAS (e.g. an epoch landed) — the matched set may
             # have changed: recompute from the new snapshot
         raise ConcurrentCommitError("delete_where lost the publish CAS 5 times")
+
+    def _rewrite_buckets(
+        self,
+        m: Manifest,
+        buckets: list[int],
+        df: DataFrame,
+        commit_dir: str,
+        operation: str,
+    ) -> "tuple[int, list[dict[str, Any]]] | None":
+        """The shared bucket-rewrite commit core of ``compact`` and
+        ``delete_where``: write ``df`` (the buckets' full replacement
+        content), stamp entries, replace those buckets' file lists in a
+        new manifest, publish. Returns (version, entries), or None when
+        the CAS is lost (caller recomputes from the new snapshot).
+        Honors ``write.bloom='all'`` like every other base-write path —
+        the first drift between the two hand-copied versions was exactly
+        a missing ``with_bloom`` here."""
+        with self._inflight_guard():
+            entries = self._write_data(
+                df,
+                commit_dir,
+                m.key_cols,
+                properties=m.properties,
+                with_bloom=str(m.properties.get("write.bloom", "delta")) == "all",
+            )
+            bset = set(buckets)
+            for e in entries:
+                e["schema_version"] = m.current_schema_version
+                if e["bucket"] not in bset:
+                    raise RuntimeError(
+                        f"{operation} rewrote bucket {e['bucket']} outside target set"
+                    )
+            keep = [e for e in m.files if e["bucket"] not in bset]
+            nm = Manifest(
+                version=m.version + 1,
+                key_cols=m.key_cols,
+                n_buckets=m.n_buckets,
+                current_schema_version=m.current_schema_version,
+                schemas=dict(m.schemas),
+                files=keep + entries,
+                committed_epochs=list(m.committed_epochs),
+                parent=m.version,
+                properties=m.properties,
+                operation=operation,
+            )
+            if self._publish(nm):
+                return nm.version, entries
+        return None
 
     def truncate(self, epoch_id: int) -> int:
         """TruncateTableTask analog: new empty snapshot. A lost CAS just
@@ -1465,44 +1520,23 @@ class LakeTable:
             if not dirty:
                 return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
             n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
-            with self._inflight_guard():
-                # pin the snapshot the fold was computed from —
-                # re-resolving _latest inside read() would race a
-                # concurrent epoch commit
-                df = self.read(spark, buckets=dirty, version=m.version)
-                new_ver = m.version + 1
-                entries = self._write_data(
-                    df,
-                    f"compact-v{new_ver}-{uuid.uuid4().hex[:6]}",
-                    m.key_cols,
-                    properties=m.properties,
-                    with_bloom=str(m.properties.get("write.bloom", "delta")) == "all",
-                )
-                for e in entries:
-                    e["schema_version"] = m.current_schema_version
-                    if e["bucket"] not in set(dirty):
-                        raise RuntimeError(
-                            f"compact wrote bucket {e['bucket']} outside dirty set"
-                        )
-                keep = [e for e in m.files if e["bucket"] not in set(dirty)]
-                nm = Manifest(
-                    version=new_ver,
-                    key_cols=m.key_cols,
-                    n_buckets=m.n_buckets,
-                    current_schema_version=m.current_schema_version,
-                    schemas=dict(m.schemas),
-                    files=keep + entries,
-                    committed_epochs=list(m.committed_epochs),
-                    parent=m.version,
-                    properties=m.properties,
-                    operation="compact",
-                )
-                if self._publish(nm):
-                    return {
-                        "buckets_compacted": len(dirty),
-                        "files_before": n_before,
-                        "files_after": len(entries),
-                    }
+            # pin the snapshot the fold was computed from — re-resolving
+            # _latest inside read() would race a concurrent epoch commit
+            df = self.read(spark, buckets=dirty, version=m.version)
+            res = self._rewrite_buckets(
+                m,
+                dirty,
+                df,
+                f"compact-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
+                "compact",
+            )
+            if res is not None:
+                _, entries = res
+                return {
+                    "buckets_compacted": len(dirty),
+                    "files_before": n_before,
+                    "files_after": len(entries),
+                }
             # lost the CAS to a concurrent commit (an ingest epoch may
             # have appended newer deltas to these buckets): the folded
             # output is stale — recompute from the new snapshot

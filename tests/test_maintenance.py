@@ -102,10 +102,25 @@ def test_delete_where_rewrites_only_hit_buckets(spark, tmp_path):
     assert any(e["path"] in pre_files for e in t.manifest().files)
     assert t.manifest().operation == "delete"
 
-    # NULL-condition rows are KEPT: commit IS NULL only for... use a
-    # condition NULL for every row to prove nothing is deleted
-    res2 = t.delete_where(spark, "CAST(NULL AS BOOLEAN)")
-    assert res2["rows_deleted"] == 0 and t.latest_version() == res["version"]
+    # NULL-condition rows are KEPT on the SURVIVOR side too: a condition
+    # TRUE for one row and NULL for its bucket-mates must delete exactly
+    # the TRUE row (a regression from ~coalesce(cond,false) to ~cond
+    # would silently drop the NULL ones with it)
+    res2 = t.delete_where(
+        spark,
+        "CASE WHEN content = 'v2_0' THEN TRUE ELSE CAST(NULL AS BOOLEAN) END",
+    )
+    assert res2["rows_deleted"] == 1
+    assert ("r0", "p2_0") not in _state(spark, t)
+    assert len(_state(spark, t)) == len(got) - 1
+    # an all-NULL condition is a zero-cost no-op
+    res3 = t.delete_where(spark, "CAST(NULL AS BOOLEAN)")
+    assert res3["rows_deleted"] == 0 and t.latest_version() == res2["version"]
+    # non-deterministic predicates are rejected (Delta DELETE rule)
+    import pytest
+
+    with pytest.raises(ValueError, match="deterministic"):
+        t.delete_where(spark, "rand() < 0.5")
 
     # rollback reverts the delete wholesale
     t.rollback(pre_v)
@@ -137,6 +152,28 @@ def test_delete_where_folds_mor_backlog(spark, tmp_path):
         e.get("kind") == "delta" and e["bucket"] == hit_b for e in t.manifest().files
     )
     assert _state(spark, t) == {k: v for k, v in pre.items() if v[0] != "v2_1"}
+
+
+def test_delete_where_preserves_bloom_policy(spark, tmp_path):
+    """A write.bloom='all' table must keep per-file blooms through a
+    delete rewrite (the drift the shared _rewrite_buckets core exists to
+    prevent): every rewritten base entry still carries khash_bloom."""
+    t = LakeTable.create(
+        str(tmp_path / "b"), REPO_FILES_SCHEMA, ["repo", "path"], 2,
+        properties={"write.bloom": "all"},
+    )
+    _apply_n_epochs(spark, t, n=2)
+    assert all("khash_bloom" in e for e in t.manifest().files)
+    t.delete_where(spark, "content = 'v0_0'")
+    assert all("khash_bloom" in e for e in t.manifest().files)
+    # compact (the other shared-core caller) preserves it too
+    t2 = LakeTable.create(
+        str(tmp_path / "b2"), REPO_FILES_SCHEMA, ["repo", "path"], 2,
+        properties={"write.bloom": "all", "write.mode": "mor"},
+    )
+    _apply_n_epochs(spark, t2, n=2)
+    t2.compact(spark)
+    assert all("khash_bloom" in e for e in t2.manifest().files)
 
 
 def test_metadata_tables(spark, tmp_path):
