@@ -8,6 +8,7 @@ from .merge import (
     dedupe_lww,
     evolve_schema,
     read_changes,
+    read_maintenance_changes,
     read_quarantine,
 )
 from .runner import replay
@@ -29,6 +30,7 @@ __all__ = [
     "dedupe_lww",
     "evolve_schema",
     "read_changes",
+    "read_maintenance_changes",
     "read_quarantine",
     "replay",
 ]

@@ -43,9 +43,27 @@ metadata).
 Layout::
 
     <root>/
-      meta/v1.json  v2.json ...   # immutable snapshot manifests
+      meta/v1.json  v2.json ...   # immutable commit records (delta or full)
+      meta/v16.ckpt.json ...      # periodic full-state checkpoints (derived)
       meta/_latest                # pointer file, atomic-rename'd
       data/c{version}-e{epoch}/bucket_p=<K>/part-*.parquet
+
+**Metadata scales like the Delta log, not like a single document** (r05,
+VERDICT r04 #1): each commit record ``v{N}.json`` holds only that
+commit's ACTIONS — files added, buckets replaced, the epoch marked, a
+schema added — so commit serialization is O(commit), not O(#files);
+at 10^5–10^6 live files the old single-JSON manifest serialized
+megabytes (plus every file's inline bloom) per commit and re-serialized
+them on every CAS retry. Snapshot state is reconstructed by replaying
+records forward from the nearest full checkpoint: every
+``meta.checkpoint.interval``-th commit (default 16) writes a sidecar
+``v{N}.ckpt.json`` with the full state (Iceberg manifest-list / Delta
+checkpoint-parquet analog), vacuum writes one for the oldest version of
+each retained run before dropping older records (metadata compaction),
+and a bounded in-process cache keyed by the record file's identity
+(inode + mtime) makes the common case — re-reading the snapshot you
+just committed — free. Wholesale operations (create, rollback,
+rebucket) write full records; everything else is a delta.
 
 Data files keep ``bucket`` as a *regular* column (single-valued per file,
 so parquet row-group stats make bucket filters free) while the write is
@@ -57,12 +75,15 @@ directory layouts.
 from __future__ import annotations
 
 import base64
+import bisect
 import contextlib
 import json
 import os
+import threading
 import uuid
 import zlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields as dataclass_fields
+from functools import lru_cache
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -133,10 +154,21 @@ def _bloom_build(hashes: "list[int]") -> dict[str, Any] | None:
     }
 
 
+@lru_cache(maxsize=4096)
+def _bloom_buf(z: str) -> bytes:
+    """Decompressed bloom bitmap, memoized on the compressed payload
+    itself (ADVICE r04): a wide probe set over a deep delta backlog used
+    to base64+zlib-decode every entry's filter on EVERY read() call —
+    pure driver latency. The payload string is immutable and unique per
+    filter, so it is its own cache key; 4096 × ≤8 KiB bounds the cache
+    at ~32 MiB."""
+    return zlib.decompress(base64.b64decode(z))
+
+
 def _bloom_may_contain(bloom: dict[str, Any], hashes: "list[int]") -> bool:
     """True iff ANY of ``hashes`` may be a member. No false negatives."""
     m, k = int(bloom["m"]), int(bloom["k"])
-    buf = zlib.decompress(base64.b64decode(bloom["z"]))
+    buf = _bloom_buf(bloom["z"])
     mask = m - 1
     for h in hashes:
         u = h & 0xFFFFFFFFFFFFFFFF
@@ -169,9 +201,12 @@ def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None
         "write.parquet.block.size",
         "write.bloom",
         "compact.max.deltas.per.bucket",
+        "meta.checkpoint.interval",
     }
     for k, v in props.items():
-        if (k.startswith("write.") or k.startswith("compact.")) and k not in known:
+        if (
+            k.startswith("write.") or k.startswith("compact.") or k.startswith("meta.")
+        ) and k not in known:
             raise ValueError(f"unknown engine table property {k!r} (known: {sorted(known)})")
         if k == "write.mode" and v not in ("cow", "mor"):
             raise ValueError(f"write.mode must be 'cow' or 'mor', got {v!r}")
@@ -196,12 +231,18 @@ def _validate_properties(props: dict[str, Any], schema_names: list[str]) -> None
                         raise ValueError(
                             f"write.sort.cols column {c!r} not in table schema {schema_names}"
                         )
-        if k in ("write.parquet.block.size", "compact.max.deltas.per.bucket"):
+        if k in (
+            "write.parquet.block.size",
+            "compact.max.deltas.per.bucket",
+            "meta.checkpoint.interval",
+        ):
             try:
                 n = int(v)
             except (TypeError, ValueError):
                 raise ValueError(f"{k} must be an integer, got {v!r}") from None
-            if n < 0 or (k == "write.parquet.block.size" and n == 0):
+            if n < 0 or (
+                k in ("write.parquet.block.size", "meta.checkpoint.interval") and n == 0
+            ):
                 raise ValueError(f"{k} must be positive, got {v!r}")
 
 
@@ -239,7 +280,14 @@ class Manifest:
         return T.StructType.fromJson(self.schemas[str(v)])
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, sort_keys=True, indent=1)
+        # declared fields only: committers ride the per-commit delta
+        # record on the instance as a ``_delta`` attribute, which must
+        # never leak into a serialized full state
+        return json.dumps(
+            {f.name: getattr(self, f.name) for f in dataclass_fields(self)},
+            sort_keys=True,
+            indent=1,
+        )
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
@@ -248,6 +296,94 @@ class Manifest:
     @property
     def total_rows(self) -> int:
         return sum(f["rows"] for f in self.files)
+
+
+_CKPT_INTERVAL_DEFAULT = 16
+
+# Reconstructed snapshots, keyed by the COMMIT RECORD FILE's identity
+# (root, version, inode, mtime_ns) — immutable once published, so a hit
+# is always exact, and a same-path table recreated after a wipe (fixed
+# contract scratch dirs) misses on the new file's inode. Shared across
+# LakeTable instances and threads; manifests are treated as immutable
+# after construction (commit paths always build NEW lists/dicts).
+_MANIFEST_CACHE: "dict[tuple, Manifest]" = {}
+_MANIFEST_CACHE_LOCK = threading.Lock()
+_MANIFEST_CACHE_MAX = 256
+
+
+def _cache_get(key: tuple) -> "Manifest | None":
+    with _MANIFEST_CACHE_LOCK:
+        return _MANIFEST_CACHE.get(key)
+
+
+def _cache_put(key: tuple, m: Manifest) -> None:
+    with _MANIFEST_CACHE_LOCK:
+        if key not in _MANIFEST_CACHE:
+            while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+            _MANIFEST_CACHE[key] = m
+
+
+def _is_delta_record(d: dict[str, Any]) -> bool:
+    return d.get("record") == "delta"
+
+
+_MANIFEST_FIELD_NAMES = frozenset(f.name for f in dataclass_fields(Manifest))
+
+
+def _manifest_from_dict(d: dict[str, Any]) -> Manifest:
+    """Parse a full-state record/checkpoint, ignoring annotation keys
+    (e.g. ``change_token`` on an emitting rollback) — full records may
+    carry commit metadata beyond the state fields."""
+    return Manifest(**{k: v for k, v in d.items() if k in _MANIFEST_FIELD_NAMES})
+
+
+def _apply_delta_record(parent: Manifest, rec: dict[str, Any]) -> Manifest:
+    """Materialize one commit on top of its parent state. The inverse of
+    the record the committers attach in ``_delta`` — every action kind
+    the engine publishes as a delta is replayed here; anything wholesale
+    (create/rollback/rebucket/revert) is a full record and never reaches
+    this function."""
+    if int(rec["parent"]) != parent.version:
+        raise RuntimeError(
+            f"manifest chain corrupt: record v{rec['version']} claims parent "
+            f"v{rec['parent']} but was applied to v{parent.version}"
+        )
+    if rec.get("truncate"):
+        files: list[dict[str, Any]] = []
+    else:
+        rb = rec.get("remove_buckets")
+        base = (
+            parent.files
+            if rb is None
+            else [e for e in parent.files if e["bucket"] not in set(rb)]
+        )
+        add = rec.get("add") or []
+        files = base + add if add else (base if rb is not None else parent.files)
+    epochs = parent.committed_epochs
+    if rec.get("epoch") is not None:
+        epochs = list(epochs)
+        bisect.insort(epochs, int(rec["epoch"]))
+    schemas = parent.schemas
+    if rec.get("schema_add"):
+        schemas = dict(schemas)
+        schemas.update(rec["schema_add"])
+    return Manifest(
+        version=int(rec["version"]),
+        key_cols=parent.key_cols,
+        n_buckets=parent.n_buckets,
+        current_schema_version=int(
+            rec.get("current_schema_version", parent.current_schema_version)
+        ),
+        schemas=schemas,
+        files=files,
+        committed_epochs=epochs,
+        parent=int(rec["parent"]),
+        properties=(
+            rec["properties"] if rec.get("properties") is not None else parent.properties
+        ),
+        operation=rec["operation"],
+    )
 
 
 class LakeTable:
@@ -286,10 +422,95 @@ class LakeTable:
             v += 1
         return v
 
+    def _vpath(self, v: int) -> str:
+        return os.path.join(self._meta_dir, f"v{v}.json")
+
+    def _ckpt_path(self, v: int) -> str:
+        return os.path.join(self._meta_dir, f"v{v}.ckpt.json")
+
+    def _load_record(self, v: int) -> dict[str, Any]:
+        with open(self._vpath(v), encoding="utf-8") as f:
+            return json.load(f)
+
+    def _record_operation(self, v: int) -> str:
+        """Operation of commit ``v`` straight off its record — both record
+        shapes carry it, no state reconstruction (used by the rebase
+        validator over intervening commits)."""
+        return str(self._load_record(v)["operation"])
+
     def manifest(self, version: int | None = None) -> Manifest:
-        v = version if version is not None else self.latest_version()
-        with open(os.path.join(self._meta_dir, f"v{v}.json"), encoding="utf-8") as f:
-            return Manifest.from_json(f.read())
+        v = int(version if version is not None else self.latest_version())
+        # one retry absorbs the benign race where a concurrent vacuum
+        # compacts metadata mid-walk (it writes the replacement
+        # checkpoint BEFORE deleting older records, so the retry lands
+        # on the checkpoint)
+        try:
+            return self._materialize(v)
+        except FileNotFoundError:
+            if not os.path.exists(self._vpath(v)):
+                raise  # the version itself is gone — not retained
+            return self._materialize(v)
+
+    def _materialize(self, v: int) -> Manifest:
+        """Reconstruct snapshot state at version ``v``: walk commit
+        records down to the nearest full state (a cached snapshot, a
+        ``v{c}.ckpt.json`` sidecar, or a full record), then replay the
+        delta records forward. O(chain) where chain ≤ the checkpoint
+        interval in steady state; every state touched lands in the
+        cache, so repeated reads — including the publish-then-read
+        pattern of every commit — are dict hits."""
+        st = os.stat(self._vpath(v))  # FileNotFoundError => not retained
+        key = (self.root, v, st.st_ino, st.st_mtime_ns)
+        hit = _cache_get(key)
+        if hit is not None:
+            return hit
+        keys: dict[int, tuple] = {v: key}
+        chain: list[dict[str, Any]] = []
+        cur_v, cur_rec = v, self._load_record(v)
+        base: Manifest | None = None
+        while _is_delta_record(cur_rec):
+            ck = self._ckpt_path(cur_v)
+            if os.path.exists(ck):
+                with open(ck, encoding="utf-8") as f:
+                    base = _manifest_from_dict(json.load(f))
+                break
+            chain.append(cur_rec)
+            pv = int(cur_rec["parent"])
+            try:
+                pst = os.stat(self._vpath(pv))
+            except FileNotFoundError:
+                # the parent record was vacuumed: metadata compaction
+                # guarantees a checkpoint at or above it for every
+                # retained version — so it must be right here
+                ck = self._ckpt_path(pv)
+                if os.path.exists(ck):
+                    with open(ck, encoding="utf-8") as f:
+                        base = _manifest_from_dict(json.load(f))
+                    break
+                raise FileNotFoundError(
+                    f"cannot reconstruct snapshot v{v}: record v{pv} is gone "
+                    "and no checkpoint covers it (vacuum raced or metadata "
+                    "corrupt)"
+                ) from None
+            pkey = (self.root, pv, pst.st_ino, pst.st_mtime_ns)
+            keys[pv] = pkey
+            cached = _cache_get(pkey)
+            if cached is not None:
+                base = cached
+                break
+            cur_v, cur_rec = pv, self._load_record(pv)
+        if base is None:  # the walk ended on a full record
+            base = _manifest_from_dict(cur_rec)
+        bk = keys.get(base.version)
+        if bk is not None:
+            _cache_put(bk, base)
+        m = base
+        for rec in reversed(chain):
+            m = _apply_delta_record(m, rec)
+            k = keys.get(m.version)
+            if k is not None:
+                _cache_put(k, m)
+        return m
 
     def _publish(self, m: Manifest) -> bool:
         """Optimistic-CAS publish: creating ``meta/v{N}.json`` IS the
@@ -297,12 +518,27 @@ class LakeTable:
         then hard-linked into place — create-exclusive, so at most ONE
         writer wins each version; the loser gets ``False`` and must
         rebase or recompute. The ``_latest`` pointer is advanced
-        best-effort afterwards (readers treat it as a floor)."""
+        best-effort afterwards (readers treat it as a floor).
+
+        What hits disk is the commit's DELTA RECORD when the committer
+        attached one (``m._delta`` — O(commit) bytes), else the full
+        state (create/rollback/rebucket). The in-memory ``m`` is primed
+        into the snapshot cache either way, so the winner's next
+        ``manifest()`` is a dict hit; every ``meta.checkpoint.interval``
+        delta commits a full ``v{N}.ckpt.json`` sidecar is written
+        (derived data — best-effort, a crash just lengthens one chain)."""
         os.makedirs(self._meta_dir, exist_ok=True)
-        mpath = os.path.join(self._meta_dir, f"v{m.version}.json")
+        delta = getattr(m, "_delta", None)
+        if delta is not None:
+            payload = json.dumps(delta, sort_keys=True)
+        else:
+            d = {f.name: getattr(m, f.name) for f in dataclass_fields(m)}
+            d.update(getattr(m, "_record_extra", None) or {})
+            payload = json.dumps(d, sort_keys=True, indent=1)
+        mpath = self._vpath(m.version)
         tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(m.to_json())
+            f.write(payload)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -311,6 +547,16 @@ class LakeTable:
             return False
         finally:
             os.remove(tmp)
+        with contextlib.suppress(OSError):
+            st = os.stat(mpath)
+            _cache_put((self.root, m.version, st.st_ino, st.st_mtime_ns), m)
+        if delta is not None:
+            interval = int(
+                m.properties.get("meta.checkpoint.interval", _CKPT_INTERVAL_DEFAULT)
+            )
+            if m.version % max(interval, 1) == 0:
+                with contextlib.suppress(OSError):
+                    _atomic_write(self._ckpt_path(m.version), m.to_json())
         had_pointer = os.path.exists(self._pointer_path())
         try:
             cur = -1
@@ -358,19 +604,32 @@ class LakeTable:
             # v0.json link and the first pointer write): no pointer means
             # create() never returned, so no caller could have committed
             # data — the orphan v0 is safe to discard and re-create with
-            # THIS call's schema. Only when v0 is the sole manifest
-            # (anything past v0 without a pointer is a dropped table)
-            # AND it has AGED past any live creator's link→pointer
-            # window: healing a fresh v0 would delete a CONCURRENT
-            # create's just-won CAS out from under it (that window is
-            # microseconds; 60 s is conservative).
-            if manifests == ["v0.json"]:
+            # THIS call's schema. Conditions, ALL required:
+            # * v0 is the sole manifest (anything past v0 without a
+            #   pointer is a dropped table), AND
+            # * no ``_dropped`` marker — drop() leaves one precisely so a
+            #   table that was deliberately dropped at v0 is
+            #   distinguishable from a crashed create (ADVICE r04) and
+            #   refuses like any other dropped table, AND
+            # * v0 has AGED past any live creator's link→pointer window:
+            #   healing a fresh v0 would delete a CONCURRENT create's
+            #   just-won CAS out from under it. The mtime window is a
+            #   NARROWING, not a proof — a creator suspended >60 s
+            #   between link and pointer write is indistinguishable from
+            #   a crash, and after a heal its pointer write would
+            #   publish the healer's v0 (documented residue; the window
+            #   is microseconds in practice).
+            if manifests == ["v0.json"] and not os.path.exists(
+                os.path.join(t._meta_dir, "_dropped")
+            ):
                 p0 = os.path.join(t._meta_dir, "v0.json")
                 import time as _time
 
                 with contextlib.suppress(OSError):
                     if _time.time() - os.path.getmtime(p0) > 60.0:
                         os.remove(p0)
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(t._meta_dir, "v0.ckpt.json"))
                         manifests = []
             # a dropped table leaves meta/v*.json + data behind (drop
             # removes only the pointer); creating a NEW table over them
@@ -397,6 +656,11 @@ class LakeTable:
         )
         if not t._publish(m):
             raise FileExistsError(f"concurrent create of table at {root}")
+        # a leftover _dropped marker on an otherwise-clean meta dir (the
+        # operator wiped the old manifests but not the marker) must not
+        # taint the next drop/create cycle of the NEW table
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(t._meta_dir, "_dropped"))
         return t
 
     @staticmethod
@@ -407,7 +671,13 @@ class LakeTable:
         return t
 
     def drop(self) -> None:
-        """DropTableTask analog — removes the pointer (data left for GC)."""
+        """DropTableTask analog — removes the pointer (data left for GC).
+        A ``_dropped`` marker is written FIRST so a table dropped while
+        still at v0 is distinguishable from a hard-crashed create()
+        (whose self-heal would otherwise silently recreate it)."""
+        with contextlib.suppress(OSError):
+            with open(os.path.join(self._meta_dir, "_dropped"), "w", encoding="utf-8"):
+                pass
         os.remove(self._pointer_path())
 
     # ---------------------------------------------------------------- read
@@ -781,7 +1051,7 @@ class LakeTable:
             return None
         for v in range(base_version + 1, m2.version + 1):
             try:
-                op = self.manifest(v).operation
+                op = self._record_operation(v)
             except FileNotFoundError as e:
                 raise ConcurrentCommitError(
                     f"cannot verify intervening commit v{v} (already vacuumed?)"
@@ -841,32 +1111,56 @@ class LakeTable:
         epoch_id: int,
         new_schema: T.StructType | None,
         new_entries: list[dict[str, Any]],
-        files_fn: Any,
+        replace_buckets: "set[int] | None",
         operation: str,
     ) -> int:
         """The shared CAS/rebase publish loop of both epoch commit
-        flavors. ``files_fn(manifest, new_entries)`` produces the new
-        file list (replace-by-bucket for CoW, append for MoR)."""
+        flavors. ``replace_buckets`` names the buckets whose prior files
+        the commit replaces (CoW); ``None`` appends (MoR). Publishes an
+        O(commit)-sized delta record — the full file list exists only in
+        memory (and in periodic checkpoints)."""
         while True:
             cur_sv = m.current_schema_version
-            schemas = dict(m.schemas)
+            schemas = m.schemas
+            schema_add = None
             if new_schema is not None and new_schema.jsonValue() != m.schema().jsonValue():
                 cur_sv += 1
-                schemas[str(cur_sv)] = new_schema.jsonValue()
+                schema_add = {str(cur_sv): new_schema.jsonValue()}
+                schemas = {**m.schemas, **schema_add}
             for e in new_entries:
                 e["schema_version"] = cur_sv
+            if replace_buckets is None:
+                files = m.files + new_entries
+            else:
+                files = [
+                    e for e in m.files if e["bucket"] not in replace_buckets
+                ] + new_entries
             nm = Manifest(
                 version=m.version + 1,
                 key_cols=m.key_cols,
                 n_buckets=m.n_buckets,
                 current_schema_version=cur_sv,
                 schemas=schemas,
-                files=files_fn(m, new_entries),
+                files=files,
                 committed_epochs=sorted([*m.committed_epochs, epoch_id]),
                 parent=m.version,
                 properties=m.properties,
                 operation=operation,
             )
+            nm._delta = {
+                "record": "delta",
+                "version": nm.version,
+                "parent": m.version,
+                "operation": operation,
+                "add": new_entries,
+                "remove_buckets": (
+                    sorted(replace_buckets) if replace_buckets is not None else None
+                ),
+                "epoch": epoch_id,
+                "schema_add": schema_add,
+                "current_schema_version": cur_sv,
+                "properties": None,
+            }
             if self._publish(nm):
                 return nm.version
             m2 = self._rebase_epoch(m.version, epoch_id)
@@ -926,12 +1220,7 @@ class LakeTable:
                             f"{sorted(changed)}"
                         )
             return self._publish_epoch_with_rebase(
-                m,
-                epoch_id,
-                new_schema,
-                new_entries,
-                lambda mm, ne: [e for e in mm.files if e["bucket"] not in changed] + ne,
-                "epoch",
+                m, epoch_id, new_schema, new_entries, changed, "epoch"
             )
 
     def commit_delta_buckets(
@@ -1003,12 +1292,7 @@ class LakeTable:
                             f"delta commit wrote bucket {e['bucket']} outside changed set"
                         )
             return self._publish_epoch_with_rebase(
-                m,
-                epoch_id,
-                new_schema,
-                new_entries,
-                lambda mm, ne: mm.files + ne,
-                "epoch-delta",
+                m, epoch_id, new_schema, new_entries, None, "epoch-delta"
             )
 
     def overwrite(self, df: DataFrame, epoch_id: int) -> int:
@@ -1023,7 +1307,85 @@ class LakeTable:
         all_buckets = list(range(m.n_buckets))
         return self.commit_buckets(df, all_buckets, epoch_id, base_version=m.version)
 
-    def delete_where(self, spark: SparkSession, condition) -> dict[str, int]:
+    @staticmethod
+    def _maint_root(delta_dir: str) -> str:
+        # underscore parent WITHOUT "=": skipped by Spark's listing of
+        # the delta log (same rule as _quarantine — a name containing
+        # "=" would be parsed as a conflicting partition column)
+        return os.path.join(delta_dir, "_maint")
+
+    def _heal_maintenance_feed(self, delta_dir: str) -> None:
+        """Finalize maintenance change dirs whose commit published but
+        whose rename crashed (the delta log's heal-on-retry rule): an
+        in-flight dir names its expected version + a token; the commit
+        record carries the same token, so a match proves THIS attempt's
+        commit landed and the dir's content is its change set. Unmatched
+        dirs (live attempts, crashed CAS losers) only age out."""
+        import shutil
+        import time as _time
+
+        mroot = self._maint_root(delta_dir)
+        if not os.path.isdir(mroot):
+            return
+        for name in os.listdir(mroot):
+            if not name.startswith("_inflight-"):
+                continue
+            parts = name.rsplit("-", 2)  # [prefix, v{N}, token]
+            p = os.path.join(mroot, name)
+            try:
+                v = int(parts[-2].lstrip("v"))
+                token = parts[-1]
+            except (ValueError, IndexError):
+                continue
+            rec = None
+            with contextlib.suppress(OSError, ValueError):
+                rec = self._load_record(v)
+            if (
+                rec is not None
+                and rec.get("change_token") == token
+                and rec.get("operation") in ("delete", "rollback")
+            ):
+                final = os.path.join(mroot, f"version={v}")
+                if os.path.exists(final):
+                    shutil.rmtree(p)
+                else:
+                    os.replace(p, final)
+                continue
+            with contextlib.suppress(OSError):
+                if _time.time() - os.path.getmtime(p) > 3600.0:
+                    shutil.rmtree(p)
+
+    def _emit_maintenance_changes(
+        self, df: DataFrame, delta_dir: str, expected_version: int, token: str
+    ) -> str:
+        """Stage a maintenance change set under an in-flight name tied to
+        (expected commit version, token); returns the tmp path. The
+        caller renames to ``version={V}`` only after its commit publishes
+        AND passes its post-publish checks — a visible ``version=V`` dir
+        IMPLIES commit V landed with exactly this change set."""
+        tmp = os.path.join(
+            self._maint_root(delta_dir), f"_inflight-v{expected_version}-{token}"
+        )
+        df.write.mode("overwrite").parquet(tmp)
+        return tmp
+
+    @staticmethod
+    def _finalize_maintenance_changes(tmp: str, version: int) -> str:
+        import shutil
+
+        final = os.path.join(os.path.dirname(tmp), f"version={version}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return final
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        emit_changes: bool = False,
+        delta_dir: str | None = None,
+    ) -> dict[str, int]:
         """Row-level DELETE FROM ... WHERE analog (Delta DELETE /
         GDPR-erasure maintenance verb) — the one content change the
         event-driven merge deliberately doesn't cover: removing rows by
@@ -1052,15 +1414,28 @@ class LakeTable:
         determinism check but still re-evaluate per job — pass the
         boundary as a literal instead.
 
-        Change-feed caveat (same as Delta DELETE + CDF, and rollback's):
-        no change events are emitted — downstream mirrors built from
-        ``read_changes``/``stream_changes`` do NOT see the erasure and
-        must be erased through their own process; for key-addressed
-        deletions that must propagate, feed tombstone EVENTS through the
-        merge instead.
+        Change-feed emission (``emit_changes=True`` + ``delta_dir``,
+        r05 — closes the r04 CDC blind spot): the erased rows' preimages
+        are written as synthesized ``action='delete'`` changes into the
+        MAINTENANCE change feed ``{delta_dir}/_maint/version={V}`` (V =
+        the delete's commit version — a non-epoch generation; the
+        underscore parent keeps epoch listings clean). Each row carries
+        ``after_epoch`` = the highest epoch committed at delete time:
+        a mirror orders the erasure after draining epochs ≤ after_epoch
+        and before any later epoch. Rename-after-publish protocol with
+        heal-on-retry (``_heal_maintenance_feed``), so a visible
+        ``version=V`` dir implies commit V landed with exactly that
+        change set. Default (emit_changes=False) keeps Delta's
+        DELETE-without-CDF behavior: mirrors do NOT see the erasure.
 
         Returns {rows_deleted, buckets_rewritten, version}.
         """
+        import shutil
+
+        if emit_changes and delta_dir is None:
+            raise ValueError("emit_changes=True requires delta_dir")
+        if emit_changes:
+            self._heal_maintenance_feed(delta_dir)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         for _attempt in range(5):
             m = self.manifest()
@@ -1081,15 +1456,30 @@ class LakeTable:
             touched = self.read(spark, buckets=hit, version=m.version)
             survivors = touched.where(~F.coalesce(cond, F.lit(False)))
             n_before = touched.count()
+            token = uuid.uuid4().hex[:12]
+            tmp = None
+            if emit_changes:
+                after_epoch = max(m.committed_epochs) if m.committed_epochs else -1
+                preimages = (
+                    matched.select(*m.schema().names, BUCKET_COL)
+                    .withColumn("action", F.lit("delete"))
+                    .withColumn("after_epoch", F.lit(after_epoch).cast("long"))
+                )
+                tmp = self._emit_maintenance_changes(
+                    preimages, delta_dir, m.version + 1, token
+                )
             res = self._rewrite_buckets(
                 m,
                 hit,
                 survivors,
                 f"delete-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
                 "delete",
+                extra_record={"change_token": token} if emit_changes else None,
             )
             if res is not None:
                 new_ver, entries = res
+                if tmp is not None:
+                    self._finalize_maintenance_changes(tmp, new_ver)
                 # the survivor count comes free from the footers the
                 # write already read — no second scan+merge of the hit
                 # buckets just to count
@@ -1101,6 +1491,8 @@ class LakeTable:
                 }
             # lost the CAS (e.g. an epoch landed) — the matched set may
             # have changed: recompute from the new snapshot
+            if tmp is not None:
+                shutil.rmtree(tmp, ignore_errors=True)
         raise ConcurrentCommitError("delete_where lost the publish CAS 5 times")
 
     def _rewrite_buckets(
@@ -1110,6 +1502,7 @@ class LakeTable:
         df: DataFrame,
         commit_dir: str,
         operation: str,
+        extra_record: "dict[str, Any] | None" = None,
     ) -> "tuple[int, list[dict[str, Any]]] | None":
         """The shared bucket-rewrite commit core of ``compact`` and
         ``delete_where``: write ``df`` (the buckets' full replacement
@@ -1140,13 +1533,25 @@ class LakeTable:
                 key_cols=m.key_cols,
                 n_buckets=m.n_buckets,
                 current_schema_version=m.current_schema_version,
-                schemas=dict(m.schemas),
+                schemas=m.schemas,
                 files=keep + entries,
-                committed_epochs=list(m.committed_epochs),
+                committed_epochs=m.committed_epochs,
                 parent=m.version,
                 properties=m.properties,
                 operation=operation,
             )
+            nm._delta = {
+                "record": "delta",
+                "version": nm.version,
+                "parent": m.version,
+                "operation": operation,
+                "add": entries,
+                "remove_buckets": sorted(bset),
+                "epoch": None,
+                "schema_add": None,
+                "properties": None,
+                **(extra_record or {}),
+            }
             if self._publish(nm):
                 return nm.version, entries
         return None
@@ -1163,13 +1568,25 @@ class LakeTable:
                 key_cols=m.key_cols,
                 n_buckets=m.n_buckets,
                 current_schema_version=m.current_schema_version,
-                schemas=dict(m.schemas),
+                schemas=m.schemas,
                 files=[],
                 committed_epochs=sorted([*m.committed_epochs, epoch_id]),
                 parent=m.version,
                 properties=m.properties,
                 operation="truncate",
             )
+            nm._delta = {
+                "record": "delta",
+                "version": nm.version,
+                "parent": m.version,
+                "operation": "truncate",
+                "truncate": True,
+                "add": [],
+                "remove_buckets": None,
+                "epoch": epoch_id,
+                "schema_add": None,
+                "properties": None,
+            }
             if self._publish(nm):
                 return nm.version
 
@@ -1209,13 +1626,24 @@ class LakeTable:
                 key_cols=m.key_cols,
                 n_buckets=m.n_buckets,
                 current_schema_version=m.current_schema_version,
-                schemas=dict(m.schemas),
-                files=list(m.files),
-                committed_epochs=list(m.committed_epochs),
+                schemas=m.schemas,
+                files=m.files,
+                committed_epochs=m.committed_epochs,
                 parent=m.version,
                 properties=new_props,
                 operation="set_properties",
             )
+            nm._delta = {
+                "record": "delta",
+                "version": nm.version,
+                "parent": m.version,
+                "operation": "set_properties",
+                "add": [],
+                "remove_buckets": None,
+                "epoch": None,
+                "schema_add": None,
+                "properties": new_props,
+            }
             if self._publish(nm):
                 return nm.version
 
@@ -1231,9 +1659,11 @@ class LakeTable:
         every subsequent commit automatically, and concurrent writers
         serialize through the ordinary manifest protocol. The tag-vs-
         vacuum race uses rollback's machinery: a ``_restore-intent``
-        marker pins the target while the property commit is in flight,
-        and the unavoidable marker-listing residue is caught by a
-        post-publish file re-check that UNTAGS before raising."""
+        marker pins the target while the property commit is in flight
+        (and vacuum re-lists markers + tags again just before its
+        deletion walk, narrowing the residue window); what residue
+        remains is detected by a post-publish file re-check that UNTAGS
+        before raising."""
         v = self.latest_version() if version is None else int(version)
         with self._restore_intent(v):
             try:
@@ -1287,7 +1717,72 @@ class LakeTable:
             raise ValueError(f"unknown tag {name!r} (have: {sorted(t)})")
         return t[name]
 
-    def rollback(self, to_version: int) -> int:
+    def _snapshot_diff(
+        self, spark: SparkSession, cur_m: Manifest, tgt_version: int
+    ) -> DataFrame:
+        """Per-key change set that turns snapshot ``cur_m`` into snapshot
+        ``tgt_version`` (the Delta RESTORE + CDF analog): rows only in
+        current → ``delete`` (preimage payload), only in target →
+        ``insert``, differing → ``update`` (target payload). Emitted in
+        the CURRENT schema generation (target columns align up, dropped
+        state is nulls). One full-outer join over the two snapshots —
+        a real two-snapshot scan, priced only when rollback opts into
+        emission."""
+        keys = list(cur_m.key_cols)
+        sch = cur_m.schema()
+        payload = [f.name for f in sch.fields if f.name not in keys]
+        cur = self.read(spark, version=cur_m.version)
+        tgt = self.read(spark, version=tgt_version)
+        tgt_al = tgt.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in tgt.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in sch.fields
+            ],
+            F.col(BUCKET_COL),
+        )
+        c = cur.withColumn("__c", F.lit(True)).alias("c")
+        g = tgt_al.withColumn("__g", F.lit(True)).alias("g")
+        j = c.join(
+            g, on=[F.col(f"c.{k}").eqNullSafe(F.col(f"g.{k}")) for k in keys], how="full_outer"
+        )
+        c_here = F.col("__c").isNotNull()
+        g_here = F.col("__g").isNotNull()
+        same = F.lit(True)
+        for p in payload:
+            same = same & F.col(f"c.{p}").eqNullSafe(F.col(f"g.{p}"))
+        action = (
+            F.when(c_here & ~g_here, F.lit("delete"))
+            .when(~c_here & g_here, F.lit("insert"))
+            .when(c_here & g_here & ~same, F.lit("update"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        take_cur = c_here & ~g_here  # deletes carry the erased preimage
+        return (
+            j.select(
+                *[F.coalesce(F.col(f"g.{k}"), F.col(f"c.{k}")).alias(k) for k in keys],
+                *[
+                    F.when(take_cur, F.col(f"c.{p}")).otherwise(F.col(f"g.{p}")).alias(p)
+                    for p in payload
+                ],
+                F.coalesce(F.col(f"g.{BUCKET_COL}"), F.col(f"c.{BUCKET_COL}")).alias(
+                    BUCKET_COL
+                ),
+                action.alias("action"),
+            )
+            .where(F.col("action").isNotNull())
+        )
+
+    def rollback(
+        self,
+        to_version: int,
+        spark: "SparkSession | None" = None,
+        emit_changes: bool = False,
+        delta_dir: str | None = None,
+    ) -> int:
         """RESTORE TABLE ... VERSION AS OF analog (Delta RESTORE /
         Iceberg rollback): publish a NEW manifest whose content — files,
         schema history, bucket layout and ``committed_epochs`` — is that
@@ -1319,6 +1814,20 @@ class LakeTable:
         re-replay reusing the old checkpoint file still re-applies the
         rolled-back epochs (the markers outrank the checkpoint).
 
+        Change-feed emission (``emit_changes=True`` + ``spark`` +
+        ``delta_dir``, r05): the per-key diff current→target
+        (``_snapshot_diff`` — insert/update/delete with preimage
+        payloads for deletes) lands in the maintenance feed
+        ``{delta_dir}/_maint/version={V}`` like ``delete_where``'s, with
+        ``after_epoch`` = the highest epoch committed in the TARGET
+        snapshot (the feed position a mirror is at once the rollback's
+        changes apply; rolled-back epochs re-apply as future rewritten
+        ``epoch=N`` dirs — consumers that already drained them must
+        treat the rewrite as the re-delivery it is, Delta's RESTORE+CDF
+        caveat). The emission is renamed into place only after the
+        post-publish vacuum-race re-check passes, so a reverted rollback
+        never leaks a change set.
+
         Concurrency: like ``truncate`` it serializes last (a lost CAS
         re-reads and retries — rollback's statement wins over whatever
         landed in between, by operator intent); a concurrent epoch
@@ -1348,6 +1857,12 @@ class LakeTable:
                 if not os.path.exists(os.path.join(self.root, e["path"]))
             ]
 
+        import shutil
+
+        if emit_changes and (spark is None or delta_dir is None):
+            raise ValueError("emit_changes=True requires spark and delta_dir")
+        if emit_changes:
+            self._heal_maintenance_feed(delta_dir)
         with self._restore_intent(to_version):
             missing = _missing()
             if missing:
@@ -1367,8 +1882,21 @@ class LakeTable:
                     )
                 ):
                     # already at (or content-identical to) the target — a
-                    # retried rollback must not burn versions
+                    # retried rollback must not burn versions (and has an
+                    # empty diff: nothing to emit)
                     return m.version
+                token = uuid.uuid4().hex[:12]
+                tmp = None
+                if emit_changes:
+                    after_epoch = (
+                        max(tgt.committed_epochs) if tgt.committed_epochs else -1
+                    )
+                    diff = self._snapshot_diff(spark, m, to_version).withColumn(
+                        "after_epoch", F.lit(after_epoch).cast("long")
+                    )
+                    tmp = self._emit_maintenance_changes(
+                        diff, delta_dir, m.version + 1, token
+                    )
                 nm = Manifest(
                     version=m.version + 1,
                     key_cols=tgt.key_cols,
@@ -1381,9 +1909,13 @@ class LakeTable:
                     properties=dict(m.properties),
                     operation="rollback",
                 )
+                if emit_changes:
+                    nm._record_extra = {"change_token": token}
                 if self._publish(nm):
                     missing = _missing()
                     if missing:
+                        if tmp is not None:
+                            shutil.rmtree(tmp, ignore_errors=True)
                         self._revert_rollback(m, nm)
                         raise ValueError(
                             f"rollback to v{to_version} raced a vacuum that "
@@ -1391,7 +1923,11 @@ class LakeTable:
                             f"(e.g. {missing[0]!r}); the table was reverted "
                             f"to v{m.version}'s content"
                         )
+                    if tmp is not None:
+                        self._finalize_maintenance_changes(tmp, nm.version)
                     return nm.version
+                if tmp is not None:
+                    shutil.rmtree(tmp, ignore_errors=True)
 
     def _revert_rollback(self, pre: Manifest, published: Manifest) -> None:
         """Undo a just-published rollback whose target files turned out
@@ -1582,7 +2118,23 @@ class LakeTable:
         called ``read(version=...)`` on a version outside the kept
         window) fail LOUDLY at scan time once its files are reclaimed —
         retention must cover the longest reader, exactly Iceberg's
-        expire_snapshots contract; there is no silent-wrong-data arm."""
+        expire_snapshots contract; there is no silent-wrong-data arm.
+
+        **Metadata compaction**: commit records are deltas, so before
+        dropping the records below a retained version this writes a full
+        ``v{N}.ckpt.json`` for the oldest version of each contiguous
+        retained run (the Iceberg rewrite-manifests analog) — every kept
+        version stays reconstructible from records ≥ its run minimum.
+        Checkpoints of dropped versions are removed with their records.
+
+        The tag/rollback-vs-vacuum residue (ADVICE r04): pins are
+        re-listed (live ``_restore-intent`` markers + the CURRENT latest
+        manifest's ``tag.*``) immediately before the data-file deletion
+        walk, so a pin that appeared after the first scan still retains
+        its files. This NARROWS the race to the walk itself rather than
+        closing it — the unavoidable residue is detected by tag()/
+        rollback()'s post-publish file re-check, which reverts/untags
+        before raising."""
         import time as _time
 
         latest = self.latest_version()
@@ -1638,6 +2190,27 @@ class LakeTable:
                 continue
             for e in entries:
                 referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
+        # late re-pin (ADVICE r04): a rollback/tag whose intent marker or
+        # tag property landed AFTER the scans above would otherwise lose
+        # its target's files to this very walk — re-list both now, as
+        # close to the deletion as possible
+        for v in sorted(self._pinned_versions_now() - keep):
+            if v > latest:
+                continue
+            try:
+                entries = self.manifest(v).files
+            except FileNotFoundError:
+                continue  # already expired by an earlier vacuum
+            keep.add(v)
+            for e in entries:
+                referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
+        # metadata compaction: records below a retained run's minimum are
+        # about to be dropped — give each run minimum a full checkpoint
+        # first so every kept version stays reconstructible (records are
+        # all still present here, so materialization cannot race the
+        # deletions below)
+        if not dry_run:
+            self._ensure_run_checkpoints(keep)
         stats = {"files_deleted": 0, "manifests_deleted": 0, "bytes_freed": 0}
         for dirpath, _dirs, files in os.walk(self._data_dir):
             for fn in files:
@@ -1658,6 +2231,19 @@ class LakeTable:
                         if os.path.getmtime(p) < cutoff:
                             os.remove(p)
                 continue
+            if fn.startswith("v") and fn.endswith(".ckpt.json"):
+                # derived checkpoints expire with their version (not
+                # counted in manifests_deleted — dry_run counts must
+                # equal a real run's, and a real run may itself CREATE
+                # run-minimum checkpoints dry_run doesn't)
+                try:
+                    v = int(fn[1:-10])
+                except ValueError:
+                    continue
+                if v not in keep and v <= latest and not dry_run:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(self._meta_dir, fn))
+                continue
             if fn.startswith("v") and fn.endswith(".json"):
                 try:
                     v = int(fn[1:-5])
@@ -1673,6 +2259,42 @@ class LakeTable:
                         os.remove(os.path.join(self._meta_dir, fn))
                     stats["manifests_deleted"] += 1
         return stats
+
+    def _pinned_versions_now(self) -> "set[int]":
+        """Versions pinned RIGHT NOW by live ``_restore-intent`` markers
+        and by ``tag.*`` properties of the current latest manifest — the
+        late re-scan vacuum runs just before its deletion walk."""
+        pins: set[int] = set()
+        with contextlib.suppress(OSError):
+            for fn in os.listdir(self._meta_dir):
+                if fn.startswith("_restore-intent."):
+                    with contextlib.suppress(ValueError, IndexError):
+                        pins.add(int(fn.split(".")[1]))
+        with contextlib.suppress(OSError, FileNotFoundError):
+            for k, v in self.manifest(self.latest_version()).properties.items():
+                if k.startswith("tag."):
+                    with contextlib.suppress(TypeError, ValueError):
+                        pins.add(int(v))
+        return pins
+
+    def _ensure_run_checkpoints(self, keep: "set[int]") -> None:
+        """Write a full ``v{N}.ckpt.json`` for the minimum of every
+        contiguous run of retained versions whose record is a delta (its
+        parent record is about to be vacuumed). Idempotent; checkpoint
+        content is deterministic, so concurrent writers converge."""
+        for v in sorted(keep):
+            if v - 1 in keep or v == 0:
+                continue  # interior of a run, or v0 (always full)
+            if os.path.exists(self._ckpt_path(v)):
+                continue
+            try:
+                if not _is_delta_record(self._load_record(v)):
+                    continue  # full record is self-sufficient
+                m = self._materialize(v)
+            except FileNotFoundError:
+                continue  # expired earlier; nothing to preserve
+            with contextlib.suppress(OSError):
+                _atomic_write(self._ckpt_path(v), m.to_json())
 
     # ------------------------------------------------------- introspection
     def row_count(self) -> int:

@@ -218,7 +218,81 @@ def read_changes(
     return out
 
 
-def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
+def read_maintenance_changes(
+    spark: SparkSession,
+    delta_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-out for MAINTENANCE content changes (r05): the synthesized
+    change sets ``delete_where(emit_changes=True)`` and
+    ``rollback(emit_changes=True)`` write under
+    ``{delta_dir}/_maint/version={V}`` — the non-epoch generation of the
+    change feed. Rows carry the table columns + ``bucket`` + ``action``
+    (insert/update/delete; delete rows hold the erased preimage) +
+    ``after_epoch`` + the ``version`` partition column (= the lake
+    commit that performed the operation — consumers checkpoint it like
+    an epoch id; a visible dir implies that commit landed).
+
+    Ordering contract for a mirror consuming BOTH feeds: apply
+    maintenance set V after draining epoch dirs with epoch ≤ its rows'
+    ``after_epoch`` and before epochs committed later; distinct
+    maintenance sets apply in ``version`` order. Schema generations are
+    folded exactly like ``read_changes``' (epochs before a column-add
+    surface typed nulls).
+
+    A caught-up consumer is the steady state: committed sets outside the
+    requested range yield an EMPTY frame with the newest set's schema.
+    A delta log with no maintenance sets at all raises
+    ``FileNotFoundError`` (indistinguishable from a wrong path)."""
+    mroot = os.path.join(delta_dir, "_maint")
+    all_vs = (
+        sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(mroot)
+            if n.startswith("version=")
+        )
+        if os.path.isdir(mroot)
+        else []
+    )
+    if not all_vs:
+        raise FileNotFoundError(f"no committed maintenance change sets under {mroot}")
+    vs = all_vs
+    if from_version is not None:
+        vs = [v for v in vs if v >= int(from_version)]
+    if to_version is not None:
+        vs = [v for v in vs if v <= int(to_version)]
+    if not vs:
+        sch = spark.read.parquet(os.path.join(mroot, f"version={all_vs[-1]}")).schema
+        empty = T.StructType(
+            list(sch.fields) + [T.StructField("version", T.IntegerType(), True)]
+        )
+        return spark.createDataFrame([], empty)
+    groups: list[tuple[T.StructType, list[int]]] = []
+    for v in vs:
+        sch = spark.read.parquet(os.path.join(mroot, f"version={v}")).schema
+        if groups and groups[-1][0] == sch:
+            groups[-1][1].append(v)
+        else:
+            groups.append((sch, [v]))
+    merged = groups[0][0]
+    for sch, _ in groups[1:]:
+        merged = _merge_change_schemas(merged, sch)
+    parts = []
+    for _, grp in groups:
+        df = spark.read.option("basePath", mroot).parquet(
+            *[os.path.join(mroot, f"version={v}") for v in grp]
+        )
+        parts.append(align_to_schema(df, merged, ("version",)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def expire_changes(
+    delta_dir: str, before_epoch: int, before_maintenance_version: int | None = None
+) -> dict[str, int]:
     """Change-feed retention: drop committed delta-log epochs older than
     ``before_epoch`` (exclusive). The log otherwise grows forever — one
     dir per epoch — and consumers that have checkpointed past an epoch
@@ -226,6 +300,11 @@ def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
     retry may still rename one into place); the table itself is
     untouched (the delta log is derived data — snapshots and epoch
     markers live in the lake manifest).
+
+    ``before_maintenance_version`` (r05) independently expires committed
+    maintenance change sets (``_maint/version=V``) below it — their
+    lifecycle is keyed by lake commit version, not epoch; in-flight
+    maintenance dirs age out like quarantine's.
 
     Returns ``{"removed": n, "kept": m}``. Legacy-named in-flight dirs
     (``_inflight-epoch=N`` — the pre-rename era whose ``=`` breaks
@@ -264,9 +343,33 @@ def expire_changes(delta_dir: str, before_epoch: int) -> dict[str, int]:
                 # sweep on (below-cutoff AND older than a day), never on
                 # epoch number alone
                 p = os.path.join(qroot, name)
-                ep = int(name.rsplit("-", 1)[-1])
-                with contextlib.suppress(OSError):
+                # tolerant parse (ADVICE r04): a malformed/truncated dir
+                # name ("_inflight-epoch-") must not abort the whole
+                # expiry sweep — skip it like the other listings do
+                with contextlib.suppress(OSError, ValueError):
+                    ep = int(name.rsplit("-", 1)[-1])
                     if ep < before_epoch and now - os.path.getmtime(p) > 86400.0:
+                        shutil.rmtree(p)
+                        removed += 1
+    mroot = os.path.join(delta_dir, "_maint")
+    if before_maintenance_version is not None and os.path.isdir(mroot):
+        import time as _time
+
+        now = _time.time()
+        for name in sorted(os.listdir(mroot)):
+            p = os.path.join(mroot, name)
+            if name.startswith("version="):
+                with contextlib.suppress(OSError, ValueError):
+                    if int(name.split("=", 1)[1]) < before_maintenance_version:
+                        shutil.rmtree(p)
+                        removed += 1
+                    else:
+                        kept += 1
+            elif name.startswith("_inflight-"):
+                # a live delete/rollback may be about to finalize this
+                # very dir — only aged leftovers are garbage
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(p) > 86400.0:
                         shutil.rmtree(p)
                         removed += 1
     return {"removed": removed, "kept": kept}

@@ -143,3 +143,39 @@ def stream_changes(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(delta_dir)
+
+
+def stream_maintenance_changes(
+    spark: SparkSession,
+    delta_dir: str,
+    change_schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming face of ``engine.merge.read_maintenance_changes`` (r05):
+    a ``readStream`` over ``{delta_dir}/_maint`` picking up the change
+    sets ``delete_where(emit_changes=True)`` / ``rollback(emit_changes=
+    True)`` commit — so a mirror that tails ``stream_changes`` can tail
+    erasures through the SAME machinery instead of never seeing them.
+    The underscore parent keeps these dirs out of the epoch stream's
+    listing; in-flight attempts (``_inflight-v{V}-{token}``) are skipped
+    here for the same reason, so only committed sets are ever consumed.
+
+    ``change_schema`` = table columns + bucket; ``action`` /
+    ``after_epoch`` data columns and the ``version`` partition column
+    are appended automatically. Ordering contract as in
+    ``read_maintenance_changes``: apply set V after epochs ≤ its
+    ``after_epoch``."""
+    import os
+
+    full = T.StructType(
+        list(change_schema.fields)
+        + [
+            T.StructField("action", T.StringType(), True),
+            T.StructField("after_epoch", T.LongType(), True),
+            T.StructField("version", T.IntegerType(), True),
+        ]
+    )
+    reader = spark.readStream.schema(full)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(os.path.join(delta_dir, "_maint"))

@@ -1,0 +1,224 @@
+"""Maintenance change-feed emission (VERDICT r04 #2): delete_where and
+rollback can emit synthesized change sets so downstream mirrors see
+erasures — the r04 CDC blind spot. Contract under test:
+
+* a mirror consuming epochs + maintenance sets (ordered by after_epoch)
+  converges to the table state — including through a later epoch that
+  re-inserts an erased key,
+* rollback's emitted diff is exactly the insert/update/delete set that
+  turns the pre-rollback snapshot into the target,
+* the rename-after-publish crash window heals on the next maintenance
+  call (a visible version=V dir implies commit V landed),
+* the streaming face drains the same rows,
+* retention expires sets independently of epochs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etlbox_spark.engine import (
+    LakeTable,
+    MergeMode,
+    MergeSpec,
+    apply_epoch,
+    read_changes,
+    read_maintenance_changes,
+)
+from etlbox_spark.engine.merge import expire_changes
+
+from .conftest import EVENTS_SCHEMA, REPO_FILES_SCHEMA, ev
+
+SPEC = MergeSpec(compare_cols=("content",))
+
+
+def _mk(tmp_path, name="t", mor=True):
+    props = {"write.mode": "mor"} if mor else {}
+    return LakeTable.create(
+        str(tmp_path / name), REPO_FILES_SCHEMA, ["repo", "path"], 4, properties=props
+    )
+
+
+def _apply(spark, t, rows, epoch, delta_dir):
+    return apply_epoch(
+        spark, t, spark.createDataFrame(rows, EVENTS_SCHEMA), SPEC,
+        MergeMode.DELTA, epoch, delta_dir=delta_dir,
+    )
+
+
+def _state(spark, t):
+    return {(r.repo, r.path): r.content for r in t.read(spark).collect()}
+
+
+def _mirror(spark, delta_dir, upto_epoch=None):
+    """Independent mirror: replay the epoch feed and the maintenance feed
+    in the documented order (maintenance set V applies after epochs ≤ its
+    after_epoch, before later epochs; sets in version order)."""
+    items = []
+    for r in read_changes(spark, delta_dir).collect():
+        if upto_epoch is not None and int(r["epoch"]) > upto_epoch:
+            continue
+        items.append((float(r["epoch"]), 0, int(r["epoch"]), r))
+    try:
+        maint = read_maintenance_changes(spark, delta_dir).collect()
+    except FileNotFoundError:
+        maint = []
+    for r in maint:
+        if upto_epoch is not None and float(r["after_epoch"]) > upto_epoch:
+            continue
+        items.append((float(r["after_epoch"]) + 0.5, int(r["version"]), 0, r))
+    state: dict = {}
+    for _, _, _, r in sorted(items, key=lambda x: (x[0], x[1], x[2])):
+        k = (r["repo"], r["path"])
+        if r["action"] in ("insert", "update"):
+            state[k] = r["content"]
+        elif r["action"] == "delete":
+            state.pop(k, None)
+    return state
+
+
+def test_delete_where_emits_erasure_and_mirror_converges(spark, tmp_path):
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+    _apply(spark, t, [ev(10, "update", "p2", "b2"), ev(11, "insert", "p3", "c1")], 1, d)
+
+    res = t.delete_where(spark, "path = 'p2'", emit_changes=True, delta_dir=d)
+    assert res["rows_deleted"] == 1
+
+    feed = read_maintenance_changes(spark, d)
+    rows = feed.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["repo"], r["path"], r["action"]) == ("r0", "p2", "delete")
+    assert r["content"] == "b2"  # the erased PREIMAGE
+    assert int(r["after_epoch"]) == 1 and int(r["version"]) == res["version"]
+
+    # a later epoch re-inserts the erased key: ordering keeps the mirror right
+    _apply(spark, t, [ev(20, "insert", "p2", "b3")], 2, d)
+    assert _mirror(spark, d) == _state(spark, t) == {
+        ("r0", "p1"): "a1", ("r0", "p2"): "b3", ("r0", "p3"): "c1",
+    }
+    # ...and mid-stream (before epoch 2) the mirror saw the erasure
+    assert _mirror(spark, d, upto_epoch=1) == {("r0", "p1"): "a1", ("r0", "p3"): "c1"}
+
+
+def test_delete_without_emission_keeps_default_blindspot(spark, tmp_path):
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1")], 0, d)
+    t.delete_where(spark, "path = 'p1'")
+    with pytest.raises(FileNotFoundError):
+        read_maintenance_changes(spark, d)
+    with pytest.raises(ValueError, match="delta_dir"):
+        t.delete_where(spark, "path = 'p1'", emit_changes=True)
+
+
+def test_rollback_emits_snapshot_diff(spark, tmp_path):
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+    good_v = t.latest_version()
+    _apply(
+        spark, t,
+        [ev(10, "update", "p1", "POISON"), ev(11, "delete", "p2"),
+         ev(12, "insert", "p4", "d1")],
+        1, d,
+    )
+    v = t.rollback(good_v, spark=spark, emit_changes=True, delta_dir=d)
+    got = {
+        (r["repo"], r["path"]): (r["action"], r["content"], int(r["after_epoch"]))
+        for r in read_maintenance_changes(spark, d).collect()
+    }
+    assert got == {
+        ("r0", "p1"): ("update", "a1", 0),       # poison reverted to target value
+        ("r0", "p2"): ("insert", "b1", 0),       # tombstoned row restored
+        ("r0", "p4"): ("delete", "d1", 0),       # rolled-back insert erased (preimage)
+    }
+    assert {int(r["version"]) for r in read_maintenance_changes(spark, d).collect()} == {v}
+    # the mirror that drained poisoned epoch 1 converges once the
+    # rolled-back epoch is re-applied corrected (rewriting epoch=1)
+    _apply(spark, t, [ev(10, "update", "p1", "a2")], 1, d)
+    assert _mirror(spark, d) == _state(spark, t) == {("r0", "p1"): "a2", ("r0", "p2"): "b1"}
+
+
+def test_emission_crash_before_rename_heals_on_next_call(spark, tmp_path, monkeypatch):
+    """Publish landed, rename crashed: the set is invisible (in-flight
+    name) until the next emitting maintenance call heals it — token in
+    the commit record proves which attempt's content it is."""
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+
+    real = LakeTable._finalize_maintenance_changes
+    monkeypatch.setattr(
+        LakeTable, "_finalize_maintenance_changes",
+        staticmethod(lambda tmp, version: (_ for _ in ()).throw(RuntimeError("crash"))),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        t.delete_where(spark, "path = 'p1'", emit_changes=True, delta_dir=d)
+    monkeypatch.setattr(LakeTable, "_finalize_maintenance_changes", staticmethod(real))
+
+    # deletion committed, feed empty (in-flight only)
+    assert _state(spark, t) == {("r0", "p2"): "b1"}
+    with pytest.raises(FileNotFoundError):
+        read_maintenance_changes(spark, d)
+    mroot = os.path.join(d, "_maint")
+    assert any(n.startswith("_inflight-") for n in os.listdir(mroot))
+
+    # ANY later emitting maintenance call heals first — even a no-match one
+    t.delete_where(spark, "path = 'nope'", emit_changes=True, delta_dir=d)
+    rows = read_maintenance_changes(spark, d).collect()
+    assert [(r["path"], r["action"], r["content"]) for r in rows] == [("p1", "delete", "a1")]
+    assert not any(n.startswith("_inflight-") for n in os.listdir(mroot))
+
+
+def test_stream_maintenance_changes_drains_erasures(spark, tmp_path):
+    from etlbox_spark.streaming.tail import stream_maintenance_changes
+
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+    t.delete_where(spark, "path = 'p1'", emit_changes=True, delta_dir=d)
+
+    change_schema = t.read(spark).schema  # table cols + bucket
+    rows = []
+    q = (
+        stream_maintenance_changes(spark, d, change_schema)
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert [(r["path"], r["action"], r["content"]) for r in rows] == [("p1", "delete", "a1")]
+
+    # incremental: a second erasure, same checkpoint -> only the new set
+    t.delete_where(spark, "path = 'p2'", emit_changes=True, delta_dir=d)
+    rows2 = []
+    q = (
+        stream_maintenance_changes(spark, d, change_schema)
+        .writeStream.foreachBatch(lambda df, _b: rows2.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert [(r["path"], r["action"]) for r in rows2] == [("p2", "delete")]
+    # ...and the epoch stream's listing never saw the _maint subtree
+    assert read_changes(spark, d).count() == 2
+
+
+def test_expire_maintenance_sets_independently(spark, tmp_path):
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+    r1 = t.delete_where(spark, "path = 'p1'", emit_changes=True, delta_dir=d)
+    r2 = t.delete_where(spark, "path = 'p2'", emit_changes=True, delta_dir=d)
+    assert read_maintenance_changes(spark, d).count() == 2
+    stats = expire_changes(d, before_epoch=0, before_maintenance_version=r2["version"])
+    assert stats["removed"] == 1
+    left = read_maintenance_changes(spark, d).collect()
+    assert [(r["path"], int(r["version"])) for r in left] == [("p2", r2["version"])]
+    # range reads stay empty-safe after expiry
+    assert read_maintenance_changes(spark, d, to_version=r1["version"]).count() == 0
