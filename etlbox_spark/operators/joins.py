@@ -12,6 +12,19 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether min/min_by can totally order a value of this type — maps
+    (at any nesting depth) cannot be compared in Spark."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def lookup(
@@ -59,6 +72,23 @@ def lookup(
         raise ValueError(f"unknown cache_mode {cache_mode!r}")
     if not isinstance(retrieve_cols, Mapping):
         retrieve_cols = {c: c for c in retrieve_cols}
+    # the deterministic survivor is a min over the retrieve-payload
+    # struct — a map-typed payload has no total order and would fail deep
+    # inside Spark's analyzer with an opaque error (VERDICT r04 nit):
+    # name the offending column instead
+    dtypes = dict(zip(lookup_df.schema.names, [f.dataType for f in lookup_df.schema.fields]))
+    bad = [
+        src
+        for src in retrieve_cols
+        if src in dtypes and not _orderable(dtypes[src])
+    ]
+    if bad:
+        raise ValueError(
+            f"lookup retrieve column(s) {bad} are map-typed (not orderable): "
+            "the deterministic dup-key survivor needs a total order over the "
+            "payload — cast the map to a struct/json string, or drop it from "
+            "retrieve_cols"
+        )
     aliases = list(retrieve_cols.values())
     small = lookup_df.select(
         *match_cols,

@@ -278,12 +278,107 @@ def ivf_lake_append(
     return table.commit_delta_buckets(rows, buckets, epoch_id, base_version=m.version)
 
 
+def ivf_centroids(table) -> list[list[float]]:
+    """The table's PINNED centroid set (the physical layout's source of
+    truth) — probes must use exactly these; after ``ivf_lake_recluster``
+    a caller-cached copy is stale and would prune to the wrong buckets."""
+    import json as _json
+
+    m = table.manifest()
+    if "ivf.centroids" not in m.properties:
+        raise ValueError("not an IVF lake table (no pinned ivf.centroids property)")
+    return _json.loads(m.properties["ivf.centroids"])
+
+
+def ivf_lake_recluster(
+    spark,
+    table,
+    k: int | None = None,
+    iters: int = 2,
+) -> dict:
+    """Retrain-and-rewrite maintenance verb for an IVF lake store (r05,
+    VERDICT r04 #4) — the missing lifecycle piece: centroids are pinned
+    at build, so as the embedded distribution drifts (appends landing far
+    from every trained centroid), probe recall decays with no repair
+    path (``rebucket`` refuses ``bucketing=custom`` by design, correctly
+    — the key hash is not the layout).
+
+    Retrains ``kmeans_centroids`` on the CURRENT merged state (folding
+    any append deltas), reassigns every row under the new centroid set
+    (which may change size — ``k`` defaults to the current cluster
+    count), and commits the re-laid-out store + re-pinned
+    ``ivf.centroids`` in ONE atomic full-record publish, exactly
+    ``rebucket``'s shape: epoch markers preserved (append exactly-once
+    unaffected), logical content untouched, crash leaves the old
+    snapshot live.
+
+    Concurrency follows rebucket's rule: a single CAS attempt — a
+    concurrent append landing mid-rewrite means the reassignment is
+    stale, and a full-table rewrite retry loop can never win against a
+    live ingest; conflicts raise ``ConcurrentCommitError`` (pause
+    appends, re-run). A concurrent append that LOSES to this commit
+    conflicts loudly via ``_rebase_epoch`` ("recluster" is not a logical
+    no-op for layout-derived writes).
+
+    Returns {"version", "n_clusters", "centroids"}.
+    """
+    import json as _json
+    import uuid as _uuid
+
+    from ..engine.lake import ConcurrentCommitError, Manifest
+
+    m = table.manifest()
+    if "ivf.centroids" not in m.properties:
+        raise ValueError("not an IVF lake table (no pinned ivf.centroids property)")
+    vec_col = m.properties.get("ivf.vec_col", "embedding")
+    id_col = m.key_cols[0]
+    n_clusters = int(k) if k is not None else m.n_buckets
+    with table._inflight_guard():
+        df = table.read(spark, with_bucket=False, version=m.version)
+        cents = kmeans_centroids(df, vec_col, n_clusters, iters=iters, id_col=id_col)
+        assigned = ivf_assign(df, vec_col, cents, id_col=id_col, cluster_col="bucket")
+        entries = table._write_data(
+            assigned,
+            f"recluster-v{m.version + 1}-{_uuid.uuid4().hex[:6]}",
+            m.key_cols,
+            properties=m.properties,
+            with_bloom=str(m.properties.get("write.bloom", "delta")) == "all",
+        )
+        for e in entries:
+            e["schema_version"] = m.current_schema_version
+        props = dict(m.properties)
+        props["ivf.centroids"] = _json.dumps(cents)
+        nm = Manifest(
+            version=m.version + 1,
+            key_cols=m.key_cols,
+            n_buckets=n_clusters,
+            current_schema_version=m.current_schema_version,
+            schemas=dict(m.schemas),
+            files=entries,
+            committed_epochs=list(m.committed_epochs),
+            parent=m.version,
+            properties=props,
+            operation="recluster",
+        )
+        if table._publish(nm):
+            return {
+                "version": nm.version,
+                "n_clusters": n_clusters,
+                "centroids": cents,
+            }
+    raise ConcurrentCommitError(
+        "recluster lost the publish CAS to a concurrent commit; pause the "
+        "append writer and re-run (a full-table rewrite cannot win against "
+        "a live stream)"
+    )
+
+
 def ivf_lake_topk(
     spark,
     table,
     vec_col: str,
     query_vec: list[float],
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | None" = None,
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
@@ -294,7 +389,11 @@ def ivf_lake_topk(
     (manifest file pruning — see ``ivf_lake_build``), exact top-k within
     them. Result-identical to ``ivf_topk`` on the same (vectors,
     centroids, query); the difference is the I/O: untouched clusters'
-    files are never scanned."""
+    files are never scanned. ``centroids=None`` reads the table's pinned
+    set (always correct after a recluster; pass an explicit list only
+    when snapshot-pinning a probe against a known layout)."""
+    if centroids is None:
+        centroids = ivf_centroids(table)
     probe = probe_clusters(query_vec, centroids, n_probe)
     df = table.read(spark, buckets=probe, with_bucket=False)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -310,7 +409,7 @@ def ivf_lake_topk_batch(
     table,
     vec_col: str,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | None" = None,
     k: int = 10,
     n_probe: int = 2,
     query_id_col: str = "query_id",
@@ -342,6 +441,9 @@ def ivf_lake_topk_batch(
     from pyspark.sql import Window
 
     from ..engine.lake import BUCKET_COL
+
+    if centroids is None:
+        centroids = ivf_centroids(table)
 
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(query_vec_col), c))

@@ -471,6 +471,7 @@ def dedup_incremental(
     seed: int = 42,
     jaccard_threshold: float = 0.8,
     commit_epoch: int | None = None,
+    nomination_limit: int = 100_000,
 ) -> DataFrame:
     """Dedupe a NEW batch against an already-deduped corpus without
     re-reading the corpus text or recomputing its signatures — the
@@ -497,7 +498,12 @@ def dedup_incremental(
     ``LakeTable.lookup_keys`` (bucket + file-stat pruned point reads).
     The candidate-id set is collected driver-side — bounded by
     |batch| × collision rate, the defining property of the incremental
-    regime (batch ≪ corpus).
+    regime (batch ≪ corpus). Above ``nomination_limit`` distinct ids
+    (an adversarial batch near-duplicating a huge corpus slice would
+    make that collect O(corpus)) the fetch switches to a distributed
+    LEFT SEMI join of the corpus read against the nominated-id frame —
+    no driver id list at any size (r05, VERDICT r04 #3); results are
+    identical, only the fetch plan changes.
 
     With ``commit_epoch`` set, survivors are appended to ``corpus`` and
     their band rows to ``index`` via ``apply_epoch`` (exactly-once per
@@ -527,9 +533,17 @@ def dedup_incremental(
         jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb)).cast("double")
         return fp_eq | (jac >= F.lit(jaccard_threshold))
 
-    # corpus text only for nominated ids: pruned point reads, and the id
-    # list is bounded driver metadata (see docstring)
-    cids = [r[0] for r in cand_bc.select("corpus_id").distinct().collect()]
+    # corpus text only for nominated ids (see docstring for the two
+    # regimes). limit(n+1) either returns the COMPLETE id set (≤ n) or
+    # proves it exceeds the cap — never a silently truncated probe list.
+    cids = [
+        r[0]
+        for r in cand_bc.select("corpus_id")
+        .distinct()
+        .limit(nomination_limit + 1)
+        .collect()
+    ]
+    overflow = len(cids) > nomination_limit
     edges = cand_bb
     edges = with_text(edges, "id_a", "__ta", batch)
     edges = with_text(edges.withColumnRenamed("id_b", "__idb"), "__idb", "__tb", batch)
@@ -538,9 +552,21 @@ def dedup_incremental(
         .select("id_a", F.col("__idb").alias("id_b"))
     )
     if cids:
-        ctext = corpus.lookup_keys(spark, [(int(i),) for i in cids]).select(
-            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc")
-        )
+        if overflow:
+            # distributed fallback: one corpus scan semi-joined to the
+            # nominated ids — the scan is the price of an adversarial
+            # nomination set, paid executor-side instead of as an
+            # unbounded driver collect
+            nominated = cand_bc.select(F.col("corpus_id").alias(id_col)).distinct()
+            ctext = (
+                corpus.read(spark, with_bucket=False)
+                .join(nominated, on=id_col, how="left_semi")
+                .select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc"))
+            )
+        else:
+            ctext = corpus.lookup_keys(spark, [(int(i),) for i in cids]).select(
+                F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc")
+            )
         e = with_text(cand_bc, "batch_id", "__ta", batch).join(ctext, on="corpus_id")
         # corpus anchors enter the component graph as negative labels so
         # min-label propagation can never elect a batch doc over them

@@ -35,9 +35,10 @@ def test_collect_only_in_sanctioned_places():
     partition (the zipWithIndex offset table). lake.py: lookup_keys
     collects one (hash, bucket) row per PROBE key — caller-bounded
     metadata, never table rows. textdedup.py: dedup_incremental collects
-    the nominated candidate CORPUS IDS (bounded by |batch| × collision
-    rate — the defining property of the incremental regime) to drive the
-    pruned lookup_keys point read."""
+    the nominated candidate CORPUS IDS to drive the pruned lookup_keys
+    point read — HARD-capped at nomination_limit via limit(n+1) (r05):
+    past the cap the fetch switches to a distributed semi-join, so the
+    collect is never O(corpus) even for an adversarial batch."""
     allowed = {
         "merge.py", "similarity.py", "joins.py", "lake.py", "__init__.py",
         "textdedup.py",

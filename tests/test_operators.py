@@ -97,6 +97,31 @@ def test_lookup_dup_key_deterministic_survivor(spark):
         assert again == got
 
 
+def test_lookup_map_typed_retrieve_named_in_error(spark):
+    """VERDICT r04 nit: a map-typed retrieve column cannot feed the
+    deterministic min-payload survivor (maps have no total order in
+    Spark) — the engine must name the column up front instead of leaking
+    Spark's opaque analyzer error."""
+    import pytest
+
+    dim = spark.createDataFrame(
+        [(1, {"a": "b"})], "k int, props map<string,string>"
+    )
+    facts = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="props"):
+        lookup(facts, dim, ["k"], {"props": "props"})
+    # nested maps are caught too
+    dim2 = spark.createDataFrame(
+        [(1, ({"a": "b"},))],
+        "k int, s struct<m: map<string,string>>",
+    )
+    with pytest.raises(ValueError, match="\\['s'\\]"):
+        lookup(facts, dim2, ["k"], ["s"])
+    # orderable columns of the same dim still work
+    dim3 = spark.createDataFrame([(1, {"a": "b"}, "x")], "k int, m map<string,string>, name string")
+    assert lookup(facts, dim3, ["k"], ["name"]).collect()[0]["name"] == "x"
+
+
 def test_lookup_partial_cache_smj(spark):
     """partial-cache mode: same result as full-cache, but via a shuffled
     sort-merge join (no broadcast of the dim side)."""

@@ -195,6 +195,41 @@ def test_dedup_incremental_matches_python_oracle(spark, tmp_path):
     assert (t.manifest().version, idx.manifest().version) == v_before
 
 
+def test_dedup_incremental_distributed_nomination_fallback(spark, tmp_path):
+    """VERDICT r04 #3: past ``nomination_limit`` distinct nominated
+    corpus ids the text fetch must switch to a distributed semi-join (no
+    driver id list) with IDENTICAL results. nomination_limit=1 forces
+    the fallback on the standard fixture (it nominates ≥ 2 corpus ids);
+    commits must stay exactly-once across the plan switch."""
+    from etlbox_spark.operators.textdedup import dedup_incremental, lsh_index_build
+
+    corpus_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    t, _ = corpus_dedup_pipeline(corpus_df, str(tmp_path / "docs"), n_perm=64, bands=16)
+    idx = lsh_index_build(t.read(spark, with_bucket=False), str(tmp_path / "idx"))
+
+    batch_df = spark.createDataFrame(BATCH, "doc_id long, text string")
+    surv = dedup_incremental(
+        spark, t, idx, batch_df, commit_epoch=2, nomination_limit=1
+    )
+    got = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert got == _py_incr_oracle(DOCS, BATCH) == {102, 104}
+    final_ids = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert final_ids == {0, 3, 6, 7} | got
+
+    # an adversarial batch near-duplicating EVERY corpus survivor: the
+    # nominated slice is the whole corpus; the fallback must drop every
+    # batch doc (each anchors to a corpus survivor)
+    adv = spark.createDataFrame(
+        [(200 + i, txt + " tail") for i, (cid, txt) in enumerate(DOCS) if cid in (0, 3, 6, 7)],
+        "doc_id long, text string",
+    )
+    surv2 = dedup_incremental(
+        spark, t, idx, adv, commit_epoch=3, nomination_limit=1, jaccard_threshold=0.5
+    )
+    assert surv2.count() == 0
+    assert {r["doc_id"] for r in t.read(spark).select("doc_id").collect()} == final_ids
+
+
 def test_corpus_dedup_pipeline_on_fixture_docs(spark, tmp_path):
     """Fixture-scale smoke on the real documents table: survivor count =
     total - (exact dups) - (near-dup non-canonical members), and the
@@ -291,6 +326,127 @@ def test_ivf_lake_append_incremental(spark, tmp_path):
     assert not any(x.get("kind") == "delta" for x in t.manifest().files)
     after = [tuple(r) for r in ivf_lake_topk(spark, t, "embedding", qv, cents, k=5, n_probe=2).collect()]
     assert after == before
+
+
+def _drift_fixture(spark):
+    """Three cosine clusters, dim 4: A≈[1,0,0,0], B≈[0,1,0,0] in the
+    initial build; C≈[.707,.707,0,0] (between them) arrives later — the
+    drift regime. C's points alternate lean-A / lean-B so the pinned
+    2-centroid layout SPLITS them across both buckets (the recall decay
+    recluster exists to repair). Ids interleave so kmeans' lowest-id
+    init seeds one vector per true cluster after the append."""
+    rows = []
+    for i in range(20):
+        j = (i % 5) * 0.01
+        rows.append((3 * i, [1.0, j, 0.02 * (i % 3), 0.0]))        # A: ids 0,3,...
+        rows.append((3 * i + 1, [j, 1.0, 0.0, 0.02 * (i % 3)]))    # B: ids 1,4,...
+    drift = [(2, [0.75, 0.66, 0.0, 0.0])]                          # C seed at id 2
+    for i in range(11):
+        d = 0.05 + 0.005 * (i % 3)
+        if i % 2 == 0:
+            drift.append((101 + 3 * i, [0.707 + d, 0.707 - d, 0.0, 0.0]))  # lean A
+        else:
+            drift.append((101 + 3 * i, [0.707 - d, 0.707 + d, 0.0, 0.0]))  # lean B
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(rows, schema),
+        spark.createDataFrame(drift, schema),
+    )
+
+
+def test_ivf_lake_recluster_repairs_drifted_recall(spark, tmp_path):
+    """VERDICT r04 #4: the recluster maintenance verb. Pinned centroids +
+    a drifted append → pruned-probe recall decays; recluster (retrain on
+    the merged current state, reassign, atomic rewrite, re-pin) must
+    restore it, preserve epoch markers, keep the store appendable, and
+    keep pruned-probe parity with the brute-force oracle."""
+    from etlbox_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_lake_append,
+        ivf_lake_recluster,
+    )
+
+    base, drift = _drift_fixture(spark)
+    cents0 = kmeans_centroids(base, "embedding", 2, iters=3)
+    t = ivf_lake_build(base, str(tmp_path / "ivfr"), "embedding", cents0)
+    ivf_lake_append(spark, t, drift, epoch_id=2)
+
+    qv = [0.707, 0.707, 0.0, 0.0]
+    k = 10
+
+    def recall(n_probe):
+        truth = {r["vec_id"] for r in cosine_topk(t.read(spark), "embedding", qv, k=k).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_lake_topk(spark, t, "embedding", qv, k=k, n_probe=n_probe).collect()
+        }
+        return len(truth & got) / k
+
+    before = recall(1)
+    assert before < 1.0, "fixture must actually split the drifted cluster"
+
+    res = ivf_lake_recluster(spark, t, k=3, iters=4)
+    assert res["n_clusters"] == 3 and t.manifest().n_buckets == 3
+    assert t.manifest().operation == "recluster"
+    assert 2 in t.manifest().committed_epochs  # append markers preserved
+    assert ivf_centroids(t) == res["centroids"]  # re-pinned
+
+    after = recall(1)
+    assert after > before and after == 1.0
+
+    # pruned-probe parity with brute force when probing everything
+    truth = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in cosine_topk(t.read(spark), "embedding", qv, k=k).collect()
+    ]
+    via = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ivf_lake_topk(spark, t, "embedding", qv, k=k, n_probe=3).collect()
+    ]
+    assert via == truth
+
+    # the store stays appendable under the NEW pinned layout
+    extra = spark.createDataFrame(
+        [(999, [0.70, 0.71, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    ivf_lake_append(spark, t, extra, epoch_id=3)
+    got = {
+        r["vec_id"]
+        for r in ivf_lake_topk(spark, t, "embedding", qv, k=k, n_probe=1).collect()
+    }
+    assert 999 in got
+
+
+def test_ivf_lake_recluster_conflicts_with_concurrent_append(spark, tmp_path, monkeypatch):
+    """Rebucket's concurrency rule applies: an append landing mid-rewrite
+    invalidates the reassignment — the recluster loses its single CAS
+    attempt and raises; the append's state stands intact."""
+    import pytest
+
+    from etlbox_spark.engine import ConcurrentCommitError
+    from etlbox_spark.engine.lake import LakeTable as LT
+    from etlbox_spark.operators.similarity import ivf_lake_append, ivf_lake_recluster
+
+    base, drift = _drift_fixture(spark)
+    cents0 = kmeans_centroids(base, "embedding", 2, iters=2)
+    t = ivf_lake_build(base, str(tmp_path / "ivfc"), "embedding", cents0)
+
+    real = LT._publish
+    state = {"armed": True}
+
+    def racing(self, m):
+        if getattr(m, "operation", "") == "recluster" and state["armed"]:
+            state["armed"] = False
+            ivf_lake_append(spark, self, drift, epoch_id=7)
+        return real(self, m)
+
+    monkeypatch.setattr(LT, "_publish", racing)
+    with pytest.raises(ConcurrentCommitError, match="recluster"):
+        ivf_lake_recluster(spark, t, k=3)
+    assert not state["armed"]
+    assert t.is_committed(7)  # the append won and is intact
+    assert t.manifest().n_buckets == 2  # layout unchanged
 
 
 def test_ivf_lake_refuses_keyhash_deriving_ops(spark, tmp_path):
