@@ -439,17 +439,34 @@ class LakeTable:
         return str(self._load_record(v)["operation"])
 
     def manifest(self, version: int | None = None) -> Manifest:
-        v = int(version if version is not None else self.latest_version())
-        # one retry absorbs the benign race where a concurrent vacuum
-        # compacts metadata mid-walk (it writes the replacement
-        # checkpoint BEFORE deleting older records, so the retry lands
-        # on the checkpoint)
-        try:
-            return self._materialize(v)
-        except FileNotFoundError:
-            if not os.path.exists(self._vpath(v)):
-                raise  # the version itself is gone — not retained
-            return self._materialize(v)
+        if version is not None:
+            v = int(version)
+            # one retry absorbs the benign race where a concurrent vacuum
+            # compacts metadata mid-walk (it writes the replacement
+            # checkpoint BEFORE deleting older records, so the retry
+            # lands on the checkpoint)
+            try:
+                return self._materialize(v)
+            except FileNotFoundError:
+                if not os.path.exists(self._vpath(v)):
+                    raise  # the version itself is gone — not retained
+                return self._materialize(v)
+        # latest: the caller wants THE CURRENT snapshot, not a specific
+        # version — if the one we resolved expires between resolution and
+        # open (an aggressive concurrent vacuum under a fast-committing
+        # table), the correct answer is the NEWER latest: re-resolve and
+        # chase it (found by the r05 multi-writer soak; bounded retries,
+        # then loud)
+        last_err: FileNotFoundError | None = None
+        for _attempt in range(5):
+            v = int(self.latest_version())
+            try:
+                return self._materialize(v)
+            except FileNotFoundError as e:
+                last_err = e
+                if os.path.exists(self._vpath(v)):
+                    return self._materialize(v)  # mid-walk compaction race
+        raise last_err  # type: ignore[misc]
 
     def _materialize(self, v: int) -> Manifest:
         """Reconstruct snapshot state at version ``v``: walk commit
@@ -1438,44 +1455,52 @@ class LakeTable:
             self._heal_maintenance_feed(delta_dir)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         for _attempt in range(5):
-            m = self.manifest()
-            full = self.read(spark, version=m.version)
-            matched = full.where(cond)
-            if not matched._jdf.queryExecution().analyzed().deterministic():
-                raise ValueError(
-                    "delete_where requires a deterministic condition "
-                    "(rand()/uuid()-style predicates evaluate differently "
-                    "in the hit scan and the survivor write)"
+            # the guard opens BEFORE the snapshot resolves: a live marker
+            # pins the snapshot window against a concurrent vacuum for
+            # the whole scan-rewrite span (r05, like apply_epoch's)
+            with self._inflight_guard():
+                m = self.manifest()
+                full = self.read(spark, version=m.version)
+                matched = full.where(cond)
+                if not matched._jdf.queryExecution().analyzed().deterministic():
+                    raise ValueError(
+                        "delete_where requires a deterministic condition "
+                        "(rand()/uuid()-style predicates evaluate differently "
+                        "in the hit scan and the survivor write)"
+                    )
+                hit = sorted(
+                    int(r[0])
+                    for r in matched.select(BUCKET_COL).distinct().collect()
                 )
-            hit = sorted(
-                int(r[0])
-                for r in matched.select(BUCKET_COL).distinct().collect()
-            )
-            if not hit:
-                return {"rows_deleted": 0, "buckets_rewritten": 0, "version": m.version}
-            touched = self.read(spark, buckets=hit, version=m.version)
-            survivors = touched.where(~F.coalesce(cond, F.lit(False)))
-            n_before = touched.count()
-            token = uuid.uuid4().hex[:12]
-            tmp = None
-            if emit_changes:
-                after_epoch = max(m.committed_epochs) if m.committed_epochs else -1
-                preimages = (
-                    matched.select(*m.schema().names, BUCKET_COL)
-                    .withColumn("action", F.lit("delete"))
-                    .withColumn("after_epoch", F.lit(after_epoch).cast("long"))
+                if not hit:
+                    return {
+                        "rows_deleted": 0,
+                        "buckets_rewritten": 0,
+                        "version": m.version,
+                    }
+                touched = self.read(spark, buckets=hit, version=m.version)
+                survivors = touched.where(~F.coalesce(cond, F.lit(False)))
+                n_before = touched.count()
+                token = uuid.uuid4().hex[:12]
+                tmp = None
+                if emit_changes:
+                    after_epoch = max(m.committed_epochs) if m.committed_epochs else -1
+                    preimages = (
+                        matched.select(*m.schema().names, BUCKET_COL)
+                        .withColumn("action", F.lit("delete"))
+                        .withColumn("after_epoch", F.lit(after_epoch).cast("long"))
+                    )
+                    tmp = self._emit_maintenance_changes(
+                        preimages, delta_dir, m.version + 1, token
+                    )
+                res = self._rewrite_buckets(
+                    m,
+                    hit,
+                    survivors,
+                    f"delete-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
+                    "delete",
+                    extra_record={"change_token": token} if emit_changes else None,
                 )
-                tmp = self._emit_maintenance_changes(
-                    preimages, delta_dir, m.version + 1, token
-                )
-            res = self._rewrite_buckets(
-                m,
-                hit,
-                survivors,
-                f"delete-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
-                "delete",
-                extra_record={"change_token": token} if emit_changes else None,
-            )
             if res is not None:
                 new_ver, entries = res
                 if tmp is not None:
@@ -2047,25 +2072,29 @@ class LakeTable:
         """
         want = None if buckets is None else set(buckets)
         for _attempt in range(5):
-            m = self.manifest()
-            dirty = sorted({
-                e["bucket"]
-                for e in m.files
-                if e.get("kind") == "delta" and (want is None or e["bucket"] in want)
-            })
-            if not dirty:
-                return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-            n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
-            # pin the snapshot the fold was computed from — re-resolving
-            # _latest inside read() would race a concurrent epoch commit
-            df = self.read(spark, buckets=dirty, version=m.version)
-            res = self._rewrite_buckets(
-                m,
-                dirty,
-                df,
-                f"compact-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
-                "compact",
-            )
+            # guard opens before the snapshot resolves (r05): the live
+            # marker pins the fold's source snapshot against a
+            # concurrent vacuum for the whole read-rewrite span
+            with self._inflight_guard():
+                m = self.manifest()
+                dirty = sorted({
+                    e["bucket"]
+                    for e in m.files
+                    if e.get("kind") == "delta" and (want is None or e["bucket"] in want)
+                })
+                if not dirty:
+                    return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+                n_before = sum(1 for e in m.files if e["bucket"] in set(dirty))
+                # pin the snapshot the fold was computed from — re-resolving
+                # _latest inside read() would race a concurrent epoch commit
+                df = self.read(spark, buckets=dirty, version=m.version)
+                res = self._rewrite_buckets(
+                    m,
+                    dirty,
+                    df,
+                    f"compact-v{m.version + 1}-{uuid.uuid4().hex[:6]}",
+                    "compact",
+                )
             if res is not None:
                 _, entries = res
                 return {
@@ -2101,12 +2130,15 @@ class LakeTable:
         uncommitted files. Two guards: (1) files whose mtime is at or
         after the latest manifest's mtime minus ``grace_s`` are skipped
         (Iceberg's orphan-removal grace window); (2) every commit holds
-        an ``_inflight.*`` marker for its write→publish span, and the
-        deletion cutoff is floored at the oldest live marker's mtime —
-        without this, a concurrent *compact* publishing mid-epoch would
-        advance the latest manifest's mtime past the epoch writer's
-        already-written data files and guard (1) alone would reclaim
-        them. Markers older than ``inflight_max_age_s`` are crashed
+        an ``_inflight.*`` marker for its WHOLE read-classify-commit
+        span (r05 — previously only write→publish): the deletion cutoff
+        is floored at the oldest live marker's mtime (protecting freshly
+        WRITTEN files), and additionally every snapshot VERSION
+        committed since that marker appeared — plus the newest one
+        before it, the latest at marker creation — is retained, so a
+        commit's pinned classify snapshot can't be expired mid-read by
+        fast metadata churn no matter how small ``keep_versions`` is.
+        Markers older than ``inflight_max_age_s`` are crashed
         writers' leftovers: swept, so they can't block vacuum forever.
         (3) a live ``_restore-intent.{v}.*`` marker (an in-flight
         ``rollback`` or ``tag``) adds version ``v`` to the kept set — its
@@ -2150,6 +2182,7 @@ class LakeTable:
             os.path.getmtime(os.path.join(self._meta_dir, f"v{latest}.json")) - grace_s
         )
         now = _time.time()
+        live_marker_mtimes: list[float] = []
         for fn in os.listdir(self._meta_dir):
             # a live _restore-intent.{v}.{uuid} marker pins version v (a
             # rollback is re-referencing its OLD files, which no mtime
@@ -2181,6 +2214,32 @@ class LakeTable:
                         os.remove(p)
                 continue
             cutoff = min(cutoff, mt)
+            live_marker_mtimes.append(mt)
+        # live in-flight markers pin the SNAPSHOT WINDOW they started
+        # under (r05, found by the multi-writer soak): a commit's
+        # read-classify-commit span holds a marker for its whole
+        # duration, and the snapshot it pinned was the latest at marker
+        # creation — so retain every version committed since the oldest
+        # live marker appeared, plus the newest one before it (that
+        # latest). Without this, fast metadata churn (tag/untag are
+        # ~10ms commits) expires a mid-classify snapshot in seconds no
+        # matter what keep_versions says. Plain read(version=...)
+        # callers outside a marker span remain under the retention
+        # contract (fail loudly when expired).
+        if live_marker_mtimes:
+            floor = min(live_marker_mtimes)
+            vers: list[tuple[int, float]] = []
+            for fn in os.listdir(self._meta_dir):
+                if fn.startswith("v") and fn.endswith(".json") and ".ckpt." not in fn:
+                    with contextlib.suppress(ValueError, OSError):
+                        vers.append(
+                            (int(fn[1:-5]), os.path.getmtime(os.path.join(self._meta_dir, fn)))
+                        )
+            since = {v for v, mt in vers if mt >= floor and v <= latest}
+            before = [v for v, mt in vers if mt < floor]
+            keep |= since
+            if before:
+                keep.add(max(before))
         referenced: set[str] = set()
         for v in sorted(keep):
             try:

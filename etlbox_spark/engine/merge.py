@@ -673,23 +673,48 @@ def apply_epoch(
       multi-GB buckets to change a few rows (write amplification is the
       10^10-event bottleneck, see lake.py).
     """
-    man = lake.manifest()
-    if man.properties.get("bucketing", "khash") != "khash":
-        # a custom-bucketed table (e.g. IVF cluster layout) cannot take
-        # merge epochs: the batch's buckets are derived from key hashes
-        # and would land rows in buckets readers don't associate them with
-        raise ValueError(
-            "apply_epoch requires key-hash bucketing; this table is "
-            f"bucketing={man.properties['bucketing']!r}"
+    # the WHOLE read-classify-commit span holds an in-flight marker (not
+    # just the write window): a live marker pins the snapshot versions
+    # committed since it appeared — plus the latest at its creation —
+    # against a concurrent vacuum, and the marker is created BEFORE the
+    # snapshot is resolved so the pinned classify snapshot is inside the
+    # pinned window (r05, found by the multi-writer soak; the commit
+    # calls below nest their own markers harmlessly)
+    with lake._inflight_guard():
+        man = lake.manifest()
+        if man.properties.get("bucketing", "khash") != "khash":
+            # a custom-bucketed table (e.g. IVF cluster layout) cannot
+            # take merge epochs: the batch's buckets are derived from key
+            # hashes and would land rows in buckets readers don't
+            # associate them with
+            raise ValueError(
+                "apply_epoch requires key-hash bucketing; this table is "
+                f"bucketing={man.properties['bucketing']!r}"
+            )
+        if epoch_id in man.committed_epochs:
+            # heal a crash between commit and delta-/quarantine-rename:
+            # the epoch is committed, so expose its fully written logs
+            if delta_dir is not None:
+                _finalize_delta(delta_dir, epoch_id)
+            _finalize_quarantine(
+                delta_dir if delta_dir is not None else lake.root, epoch_id
+            )
+            return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
+        return _apply_epoch_pinned(
+            spark, lake, man, events, spec, mode, epoch_id, delta_dir
         )
-    if epoch_id in man.committed_epochs:
-        # heal a crash between commit and delta-/quarantine-rename: the
-        # epoch is committed, so expose its (already fully written) logs
-        if delta_dir is not None:
-            _finalize_delta(delta_dir, epoch_id)
-        _finalize_quarantine(delta_dir if delta_dir is not None else lake.root, epoch_id)
-        return MergeResult(epoch_id=epoch_id, version=man.version, skipped=True)
 
+
+def _apply_epoch_pinned(
+    spark: SparkSession,
+    lake: LakeTable,
+    man,
+    events: DataFrame,
+    spec: MergeSpec,
+    mode: MergeMode,
+    epoch_id: int,
+    delta_dir: str | None,
+) -> MergeResult:
     # dead-letter routing first: a malformed event must not poison the
     # LWW window or the null-safe classify join (spec.on_malformed)
     events, n_quarantined = _route_malformed(

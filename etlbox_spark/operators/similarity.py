@@ -203,10 +203,19 @@ def ivf_lake_append(
     Exactly-once: the lake epoch marker makes a retried ``epoch_id`` a
     no-op, the same contract as the CDC tables. Returns the committed
     manifest version."""
+    # whole-span in-flight marker (r05): the existence probe below reads
+    # the pinned snapshot's files; the live marker pins that snapshot
+    # window against a concurrent vacuum (commit_delta_buckets nests its
+    # own marker harmlessly)
+    with table._inflight_guard():
+        return _ivf_lake_append_pinned(spark, table, df, epoch_id, id_col)
+
+
+def _ivf_lake_append_pinned(spark, table, df, epoch_id, id_col):
     import json as _json
 
-    from ..engine.lake import MOR_OP_COL, LakeTable  # noqa: F401 (typing aid)
-    from ..functions.hashing import key_hash
+    from ..engine.lake import MOR_OP_COL  # noqa: F401
+    from ..functions.hashing import key_hash  # noqa: F401
 
     m = table.manifest()
     if "ivf.centroids" not in m.properties:

@@ -201,22 +201,31 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → canonical
     (minimum) id per component — the cluster-canonicalization step that
     turns pairwise dedup output into one surviving document per group.
 
-    Iterative min-label propagation, pure DataFrame joins: each round a
-    vertex adopts the smallest label among itself and its neighbors;
-    convergence in O(component diameter) rounds (near-dup clusters are
-    tiny stars/cliques, so 2-3 rounds in practice). The driver loop is
+    Each round does min-label propagation (a vertex adopts the smallest
+    label among itself and its neighbors) PLUS one pointer-jump
+    (``component ← component[component]`` — path halving over the label
+    table, r05): labels are always vertex ids and only ever decrease, so
+    the jump stays inside the component and convergence needs
+    **O(log diameter)** rounds, not O(diameter) — a 10^5-vertex chain
+    converges in ~17 rounds where plain propagation needs 10^5 (the
+    pathological topology VERDICT r04 #5 flagged; measured in
+    BENCH.md §connected-components). Near-dup clusters are tiny
+    stars/cliques (2-3 rounds); the jump costs one extra self-join of
+    the one-row-per-vertex label table per round. The driver loop is
     over Spark JOBS (one count per round for the convergence check —
-    bounded metadata), never over rows. At web scale the same join shape
-    with the large-star/small-star optimization bounds round count on
-    pathological chains; candidate graphs from banded LSH don't have
-    them.
+    bounded metadata), never over rows. Hot-key skew (a 10^5-leaf star's
+    center) is absorbed by the map-side combine of the ``groupBy(src)
+    .min`` — the shuffle carries one row per (center, partition).
 
-    Returns (id, component) for every vertex appearing in ``edges``.
+    ``stats`` (optional dict) receives {"rounds": n} for
+    benches/regression tests. Returns (id, component) for every vertex
+    appearing in ``edges``.
     """
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -245,6 +254,22 @@ def connected_components(
                 "component"
             ),
         )
+        # pointer jump (path halving): component ← component[component].
+        # Labels are vertex ids (so the lookup side always has the row)
+        # and min-monotone (so the jumped label can only shrink); this is
+        # what collapses an L-long label chain in log₂(L) rounds instead
+        # of L. left join + coalesce is belt-and-braces for the
+        # mid-round state where a label names a vertex whose own row is
+        # computed in this same frame.
+        jump_side = new_labels.select(
+            F.col("id").alias("component"), F.col("component").alias("__cc")
+        )
+        new_labels = new_labels.join(jump_side, on="component", how="left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
+            ).alias("component"),
+        )
         # cap lineage (ADVICE r02): without this, each round's convergence
         # count() re-executes the whole accumulated join chain — O(rounds²)
         # recomputation on deep graphs. localCheckpoint truncates the plan
@@ -260,6 +285,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             converged = True
+            if stats is not None:
+                stats["rounds"] = i + 1
             break
     if not converged:
         # silently returning unconverged labels would mislabel clusters
