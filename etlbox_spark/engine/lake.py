@@ -1860,7 +1860,10 @@ class LakeTable:
         not a logical no-op) rather than silently landing on the
         rolled-back state. Against a concurrent VACUUM the target is
         pinned by a ``_restore-intent`` marker (vacuum retains the
-        marked version while the marker lives); the unavoidable residue
+        marked version while the marker lives) and the CURRENT snapshot
+        — the other side of the ``emit_changes`` diff — by an
+        ``_inflight`` marker's snapshot-window pin held for the whole
+        diff-and-publish span; the unavoidable residue
         — a vacuum that listed markers just before the intent appeared —
         is caught by re-verifying the files after the publish and
         REVERTING the rollback (the pre-rollback snapshot's files are
@@ -1888,7 +1891,12 @@ class LakeTable:
             raise ValueError("emit_changes=True requires spark and delta_dir")
         if emit_changes:
             self._heal_maintenance_feed(delta_dir)
-        with self._restore_intent(to_version):
+        # the intent marker pins the TARGET version; the inflight guard
+        # pins the snapshot window from here on (latest-at-creation plus
+        # everything after), so the CURRENT snapshot the emit_changes
+        # diff scans can't be expired by a concurrent vacuum mid-read
+        # (r05 — the same span rule apply_epoch/delete_where hold)
+        with self._restore_intent(to_version), self._inflight_guard():
             missing = _missing()
             if missing:
                 raise ValueError(

@@ -342,8 +342,22 @@ def ivf_lake_recluster(
     vec_col = m.properties.get("ivf.vec_col", "embedding")
     id_col = m.key_cols[0]
     n_clusters = int(k) if k is not None else m.n_buckets
+    if not m.files:
+        # training on nothing would re-pin an EMPTY centroid set, which
+        # breaks every later probe (probe_clusters over []) — refuse
+        raise ValueError(
+            "cannot recluster an empty IVF store (no data files); "
+            "build or append first"
+        )
     with table._inflight_guard():
         df = table.read(spark, with_bucket=False, version=m.version)
+        if df.isEmpty():
+            # files exist but the merged state is all tombstones —
+            # training would re-pin an empty centroid set
+            raise ValueError(
+                "cannot recluster an IVF store whose merged state is "
+                "empty (all rows tombstoned); compact instead"
+            )
         cents = kmeans_centroids(df, vec_col, n_clusters, iters=iters, id_col=id_col)
         assigned = ivf_assign(df, vec_col, cents, id_col=id_col, cluster_col="bucket")
         entries = table._write_data(

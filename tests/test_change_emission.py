@@ -222,3 +222,76 @@ def test_expire_maintenance_sets_independently(spark, tmp_path):
     assert [(r["path"], int(r["version"])) for r in left] == [("p2", r2["version"])]
     # range reads stay empty-safe after expiry
     assert read_maintenance_changes(spark, d, to_version=r1["version"]).count() == 0
+
+
+def test_rollback_diff_runs_under_inflight_pin(spark, tmp_path, monkeypatch):
+    """r05 hazard fix: the emit_changes diff scans the CURRENT snapshot,
+    which only a live ``_inflight`` marker's snapshot-window pin protects
+    from a concurrent vacuum — the ``_restore-intent`` marker pins only
+    the TARGET version, and by diff time the current snapshot may no
+    longer be the latest (a racing writer + vacuum(keep_versions=1)
+    would expire its files mid-scan). Pin the invariant: the diff must
+    be built while an inflight marker lives."""
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1")], 0, d)
+    good_v = t.latest_version()
+    _apply(spark, t, [ev(10, "update", "p1", "a2")], 1, d)
+
+    seen = {}
+    orig = type(t)._snapshot_diff
+
+    def spying(self, *a, **kw):
+        seen["live_markers"] = [
+            fn for fn in os.listdir(self._meta_dir) if fn.startswith("_inflight.")
+        ]
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(t), "_snapshot_diff", spying)
+    t.rollback(good_v, spark=spark, emit_changes=True, delta_dir=d)
+    assert seen.get("live_markers"), "rollback diffed without an inflight pin"
+
+
+def test_rollback_emitting_diff_survives_hostile_vacuum_churn(spark, tmp_path, monkeypatch):
+    """Drive the actual race the r05 pin closes, deterministically: while
+    rollback(emit_changes=True) is between resolving the current snapshot
+    and scanning it for the diff, a concurrent writer lands a NEW epoch
+    (CoW — the old snapshot's bucket files become unreferenced by the
+    latest) and a brutal vacuum(keep_versions=1) runs. The inflight
+    marker's snapshot-window pin must retain the mid-diff snapshot's
+    version + files; rollback then loses its CAS, recomputes against the
+    new current, and emits the diff of THAT — correct feed, correct final
+    state, no dangling first-attempt emission."""
+    from etlbox_spark.engine import LakeTable as _LT
+
+    t = _mk(tmp_path, mor=False)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p3", "z1")], 0, d)
+    good_v = t.latest_version()
+    _apply(spark, t, [ev(10, "update", "p1", "POISON"), ev(11, "insert", "p2", "b1")], 1, d)
+
+    fired = {}
+    orig = type(t)._snapshot_diff
+
+    def hostile(self, spark_, cur_m, tgt_version):
+        if not fired:
+            fired["v_mid_diff"] = cur_m.version
+            t2 = _LT.load(self.root)
+            _apply(spark_, t2, [ev(20, "update", "p1", "c1"), ev(21, "delete", "p2")], 2, d)
+            t2.vacuum(keep_versions=1, grace_s=0.0)
+        return orig(self, spark_, cur_m, tgt_version)
+
+    monkeypatch.setattr(type(t), "_snapshot_diff", hostile)
+    v = t.rollback(good_v, spark=spark, emit_changes=True, delta_dir=d)
+    assert fired, "hostile churn never ran"
+
+    got = {
+        (r["repo"], r["path"]): (r["action"], r["content"], int(r["version"]))
+        for r in read_maintenance_changes(spark, d).collect()
+    }
+    # only the WINNING attempt's set is visible (the lost-CAS emission was
+    # torn down), and it is the diff vs the post-churn current snapshot
+    assert got == {("r0", "p1"): ("update", "a1", v)}
+    assert _state(spark, t) == {("r0", "p1"): "a1", ("r0", "p3"): "z1"}
+    # epoch 2 rolled back with the content: it re-applies on replay
+    assert 2 not in t.manifest().committed_epochs

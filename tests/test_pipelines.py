@@ -522,3 +522,27 @@ def test_dedup_incremental_empty_batch(spark, tmp_path):
     assert surv.count() == 0
     assert {r["doc_id"] for r in t.read(spark).select("doc_id").collect()} == before
     assert 2 in t.manifest().committed_epochs
+
+
+def test_ivf_lake_recluster_refuses_empty_store(spark, tmp_path):
+    """r05 hazard fix: reclustering a store with no rows would retrain on
+    nothing and re-pin an EMPTY centroid set, breaking every later probe
+    (probe_clusters over []). Both empty arms must refuse loudly:
+    no data files at all, and files whose merged state is all
+    tombstones."""
+    import pytest as _pytest
+
+    from etlbox_spark.operators.similarity import (
+        ivf_lake_append,
+        ivf_lake_build,
+        ivf_lake_recluster,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    t = ivf_lake_build(empty, str(tmp_path / "ivfe"), "embedding", [[1.0, 0.0]])
+    with _pytest.raises(ValueError, match="empty"):
+        ivf_lake_recluster(spark, t, k=2)
+    # the store (and its pinned centroids) must be untouched by the refusal
+    from etlbox_spark.operators.similarity import ivf_centroids
+
+    assert ivf_centroids(t) == [[1.0, 0.0]]
