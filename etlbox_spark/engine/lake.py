@@ -1363,10 +1363,16 @@ class LakeTable:
                 and rec.get("operation") in ("delete", "rollback")
             ):
                 final = os.path.join(mroot, f"version={v}")
-                if os.path.exists(final):
-                    shutil.rmtree(p)
-                else:
-                    os.replace(p, final)
+                # the owning committer (or a second healer) can finalize
+                # between the existence check and the rename — its rename
+                # establishes exactly the postcondition this one wanted
+                # (the token proves both hold the same content), so a
+                # vanished source is success, not an error
+                with contextlib.suppress(OSError):
+                    if os.path.exists(final):
+                        shutil.rmtree(p)
+                    else:
+                        os.replace(p, final)
                 continue
             with contextlib.suppress(OSError):
                 if _time.time() - os.path.getmtime(p) > 3600.0:
@@ -2282,11 +2288,25 @@ class LakeTable:
         for dirpath, _dirs, files in os.walk(self._data_dir):
             for fn in files:
                 p = os.path.normpath(os.path.join(dirpath, fn))
-                if p not in referenced and os.path.getmtime(p) < cutoff:
-                    stats["bytes_freed"] += os.path.getsize(p)
+                if p in referenced:
+                    continue
+                # a file can vanish between the walk listing and the stat:
+                # a crashed commit's RETRY mode("overwrite")s its own
+                # data/<commit_dir>/ garbage, and Spark's _temporary
+                # staging files move at job commit. Such files were never
+                # referenced by any manifest, so skipping them is always
+                # safe — the alternative is the whole sweep aborting on a
+                # concurrent writer's cleanup (OSError mid-walk)
+                try:
+                    if os.path.getmtime(p) >= cutoff:
+                        continue
+                    size = os.path.getsize(p)
                     if not dry_run:
                         os.remove(p)
-                    stats["files_deleted"] += 1
+                except OSError:
+                    continue
+                stats["bytes_freed"] += size
+                stats["files_deleted"] += 1
         for fn in os.listdir(self._meta_dir):
             # crashed-publish temp files (v{N}.json.tmp.{hex}) age out
             # with the same cutoff as data files (checked BEFORE the

@@ -175,6 +175,45 @@ def test_emission_crash_before_rename_heals_on_next_call(spark, tmp_path, monkey
     assert not any(n.startswith("_inflight-") for n in os.listdir(mroot))
 
 
+def test_heal_survives_concurrent_finalize_race(spark, tmp_path, monkeypatch):
+    """Two actors can race to finalize the same crashed in-flight set (the
+    owning committer's retry and a reader's heal pass): the loser's
+    os.replace finds the source already renamed away. The loser must treat
+    that as success — the winner's rename established exactly the
+    postcondition (token proves identical content) — not crash. Driven by
+    an os.replace wrapper that lets the 'owner' win first."""
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+
+    real_fin = LakeTable._finalize_maintenance_changes
+    monkeypatch.setattr(
+        LakeTable, "_finalize_maintenance_changes",
+        staticmethod(lambda tmp, version: (_ for _ in ()).throw(RuntimeError("crash"))),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        t.delete_where(spark, "path = 'p1'", emit_changes=True, delta_dir=d)
+    monkeypatch.setattr(LakeTable, "_finalize_maintenance_changes", staticmethod(real_fin))
+    mroot = os.path.join(d, "_maint")
+    assert any(n.startswith("_inflight-") for n in os.listdir(mroot))
+
+    real_replace = os.replace
+
+    def racing_replace(src, dst, *a, **kw):
+        if os.path.basename(str(src)).startswith("_inflight-v"):
+            real_replace(src, dst)  # the concurrent winner renames first...
+            return real_replace(src, dst)  # ...so this attempt raises ENOENT
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", racing_replace)
+    t._heal_maintenance_feed(d)  # must not raise
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    rows = read_maintenance_changes(spark, d).collect()
+    assert [(r["path"], r["action"], r["content"]) for r in rows] == [("p1", "delete", "a1")]
+    assert not any(n.startswith("_inflight-") for n in os.listdir(mroot))
+
+
 def test_stream_maintenance_changes_drains_erasures(spark, tmp_path):
     from etlbox_spark.streaming.tail import stream_maintenance_changes
 

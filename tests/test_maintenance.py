@@ -83,6 +83,36 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert stats2["files_deleted"] == 0 and stats2["manifests_deleted"] == 0
 
 
+def test_vacuum_survives_files_vanishing_mid_walk(spark, tmp_path):
+    """A concurrent writer's cleanup can remove a data file between
+    vacuum's walk listing and its stat — a crashed commit's RETRY
+    mode("overwrite")s its own data/<commit_dir>/ garbage, and Spark's
+    _temporary staging files move at job commit. The sweep must skip the
+    vanished file and keep going, not abort mid-walk. Simulated
+    deterministically with a dangling symlink: os.walk lists it as a
+    file, and the follow-target stat raises exactly the mid-walk
+    FileNotFoundError the race produces."""
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 2)
+    _apply_n_epochs(spark, t)
+    t.rebucket(spark, 4)  # strands the pre-rebucket files as reclaimable
+    latest_state = _state(spark, t)
+    crashed = os.path.join(t._data_dir, "crashed-commit")
+    os.makedirs(crashed)
+    garbage = os.path.join(crashed, "junk.parquet")
+    with open(garbage, "w", encoding="utf-8") as f:
+        f.write("x")
+    os.utime(garbage, (1, 1))  # old enough to fall below the cutoff
+    vanished = os.path.join(crashed, "vanished.parquet")
+    os.symlink(os.path.join(str(tmp_path), "never-existed"), vanished)
+
+    stats = t.vacuum(keep_versions=1)
+
+    assert stats["files_deleted"] > 0  # sweep ran to completion
+    assert not os.path.exists(garbage)  # ...and still reclaimed garbage
+    assert os.path.lexists(vanished)  # the unstattable entry was skipped
+    assert _state(spark, t) == latest_state
+
+
 def test_delete_where_rewrites_only_hit_buckets(spark, tmp_path):
     """DELETE FROM ... WHERE analog: matching rows vanish, untouched
     buckets carry over by file reference, NULL-condition rows are kept
