@@ -313,16 +313,37 @@ def expire_changes(
     garbage that would otherwise poison ``stream_changes`` forever.
     """
     removed = kept = 0
+
+    def _rm(p: str) -> bool:
+        # a concurrent expire (or any cleanup actor) can delete the same
+        # dir between this sweep's listing and its rmtree — the
+        # postcondition already holds, so a vanished target is the OTHER
+        # actor's removal, not this sweep's failure
+        try:
+            shutil.rmtree(p)
+            return True
+        except OSError:
+            return False
+
+    def _suffix_int(name: str) -> int | None:
+        # tolerant parse: a malformed/truncated dir name must not abort
+        # the whole expiry sweep (same rule as quarantine's, ADVICE r04)
+        try:
+            return int(name.split("=", 1)[1])
+        except ValueError:
+            return None
+
     for name in sorted(os.listdir(delta_dir)):
         if name.startswith("_inflight-epoch="):
-            shutil.rmtree(os.path.join(delta_dir, name))
-            removed += 1
+            removed += _rm(os.path.join(delta_dir, name))
             continue
         if not name.startswith("epoch="):
             continue
-        if int(name.split("=", 1)[1]) < before_epoch:
-            shutil.rmtree(os.path.join(delta_dir, name))
-            removed += 1
+        ep = _suffix_int(name)
+        if ep is None:
+            continue
+        if ep < before_epoch:
+            removed += _rm(os.path.join(delta_dir, name))
         else:
             kept += 1
     qroot = os.path.join(delta_dir, "_quarantine")
@@ -332,9 +353,9 @@ def expire_changes(
         now = _time.time()
         for name in sorted(os.listdir(qroot)):
             if name.startswith("epoch="):
-                if int(name.split("=", 1)[1]) < before_epoch:
-                    shutil.rmtree(os.path.join(qroot, name))
-                    removed += 1
+                ep = _suffix_int(name)
+                if ep is not None and ep < before_epoch:
+                    removed += _rm(os.path.join(qroot, name))
             elif name.startswith("_inflight-epoch-"):
                 # crashed attempts' in-flight dirs are garbage ONLY once
                 # aged: a LIVE retry of an old epoch may be mid-write or
@@ -349,8 +370,7 @@ def expire_changes(
                 with contextlib.suppress(OSError, ValueError):
                     ep = int(name.rsplit("-", 1)[-1])
                     if ep < before_epoch and now - os.path.getmtime(p) > 86400.0:
-                        shutil.rmtree(p)
-                        removed += 1
+                        removed += _rm(p)
     mroot = os.path.join(delta_dir, "_maint")
     if before_maintenance_version is not None and os.path.isdir(mroot):
         import time as _time
@@ -359,19 +379,19 @@ def expire_changes(
         for name in sorted(os.listdir(mroot)):
             p = os.path.join(mroot, name)
             if name.startswith("version="):
-                with contextlib.suppress(OSError, ValueError):
-                    if int(name.split("=", 1)[1]) < before_maintenance_version:
-                        shutil.rmtree(p)
-                        removed += 1
-                    else:
-                        kept += 1
+                v = _suffix_int(name)
+                if v is None:
+                    continue
+                if v < before_maintenance_version:
+                    removed += _rm(p)
+                else:
+                    kept += 1
             elif name.startswith("_inflight-"):
                 # a live delete/rollback may be about to finalize this
                 # very dir — only aged leftovers are garbage
                 with contextlib.suppress(OSError):
                     if now - os.path.getmtime(p) > 86400.0:
-                        shutil.rmtree(p)
-                        removed += 1
+                        removed += _rm(p)
     return {"removed": removed, "kept": kept}
 
 

@@ -287,6 +287,44 @@ def test_expire_changes_retention(spark, tmp_path):
                                    ("r0", "p3"): "Test3"}
 
 
+def test_expire_changes_tolerates_races_and_malformed_names(spark, tmp_path, monkeypatch):
+    """Two expire_changes actors can race on the same log: the loser's
+    rmtree finds the dir already gone. The sweep must credit the removal
+    to the winner (not double-count) and keep going — not abort mid-sweep
+    leaving younger expirable epochs behind. A malformed epoch dir name
+    (external tooling debris) is likewise skipped, not fatal."""
+    import os
+    import shutil
+
+    from etlbox_spark.engine.merge import expire_changes, read_changes
+
+    t = _table(tmp_path)
+    d = str(tmp_path / "delta")
+    _seed_three(spark, t, d)
+    _apply(spark, t, [ev(10, "update", "p1", "Test1b")], MergeMode.DELTA, 1, d)
+    _apply(spark, t, [ev(20, "update", "p1", "Test1c")], MergeMode.DELTA, 2, d)
+    os.makedirs(os.path.join(d, "epoch=bogus"))  # unparseable suffix
+
+    real_rmtree = shutil.rmtree
+
+    def racing_rmtree(p, *a, **kw):
+        if os.path.basename(str(p)) == "epoch=0":
+            real_rmtree(p)  # the concurrent winner deletes it first...
+            raise FileNotFoundError(p)  # ...so this sweep's attempt fails
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", racing_rmtree)
+    res = expire_changes(d, before_epoch=2)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # epoch=0's removal belongs to the winner; this sweep removed epoch=1,
+    # kept epoch=2, and skipped the malformed name without aborting
+    assert res == {"removed": 1, "kept": 1}
+    assert sorted(os.listdir(d)) == ["epoch=2", "epoch=bogus"]
+    os.rmdir(os.path.join(d, "epoch=bogus"))
+    assert {int(r.epoch) for r in read_changes(spark, d).collect()} == {2}
+
+
 def test_rollback_rewrites_reapplied_epoch_change_log(spark, tmp_path):
     """Rollback + CDC-out interplay: a rolled-back epoch's re-application
     REWRITES its epoch=N change-log dir (the stale final dir is cleared
