@@ -2342,8 +2342,15 @@ class LakeTable:
                 # deleting it would erase a committed transaction and
                 # leave the pointer naming a missing manifest
                 if v not in keep and v <= latest:
-                    if not dry_run:
+                    if dry_run:
+                        stats["manifests_deleted"] += 1
+                        continue
+                    # a concurrent vacuum can expire the same manifest
+                    # first — credit it the removal and keep sweeping
+                    try:
                         os.remove(os.path.join(self._meta_dir, fn))
+                    except OSError:
+                        continue
                     stats["manifests_deleted"] += 1
         return stats
 

@@ -75,12 +75,16 @@ def _finalize_quarantine(root: str, epoch_id: int) -> None:
     invisible to ``read_quarantine``'s listing, and are overwritten by
     the retry). Idempotent; no-op when the epoch quarantined nothing."""
     tmp, final = _quarantine_paths(root, epoch_id)
-    if os.path.exists(final):
-        if os.path.exists(tmp):  # final implies committed; tmp is stale
-            shutil.rmtree(tmp)
-        return
-    if os.path.exists(tmp):
-        os.replace(tmp, final)
+    # any actor retrying a committed epoch heals here, so two healers can
+    # race: the loser's rmtree/replace finds the source already gone —
+    # the winner established exactly this postcondition, so tolerate it
+    with contextlib.suppress(OSError):
+        if os.path.exists(final):
+            if os.path.exists(tmp):  # final implies committed; tmp is stale
+                shutil.rmtree(tmp)
+            return
+        if os.path.exists(tmp):
+            os.replace(tmp, final)
 
 
 def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
@@ -97,12 +101,17 @@ def _finalize_delta(delta_dir: str, epoch_id: int) -> None:
     # finalizes the legacy name anymore, so once THIS epoch is being
     # finalized the legacy leftover is pure garbage
     legacy = os.path.join(delta_dir, f"_inflight-epoch={epoch_id}")
-    if os.path.exists(legacy):
-        shutil.rmtree(legacy)
-    if os.path.exists(final):
-        return
-    if os.path.exists(tmp):
-        os.replace(tmp, final)
+    # concurrent healers (any actor retrying a committed epoch lands
+    # here) can race on the same rename — the loser's vanished source
+    # means the winner already established the postcondition
+    with contextlib.suppress(OSError):
+        if os.path.exists(legacy):
+            shutil.rmtree(legacy)
+    with contextlib.suppress(OSError):
+        if os.path.exists(final):
+            return
+        if os.path.exists(tmp):
+            os.replace(tmp, final)
 
 
 def _fold_fields(

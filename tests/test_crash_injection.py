@@ -142,3 +142,56 @@ def test_crash_between_commit_and_delta_rename_heals_on_retry(spark, tmp_path, m
     assert res.skipped
     d0 = spark.read.parquet(str(tmp_path / "d" / "epoch=0"))
     assert {r.action for r in d0.collect()} == {"insert"}
+
+
+def test_finalize_heal_survives_concurrent_healer(spark, tmp_path, monkeypatch):
+    """ANY actor retrying a committed epoch heals its crashed rename, so
+    two healers can race: the loser's os.replace finds the in-flight dir
+    already renamed away. The loser must treat that as success (the
+    winner established exactly the postcondition), for both the delta log
+    and the quarantine log. Driven by an os.replace wrapper that lets the
+    'other healer' win first."""
+    import os
+    import shutil
+
+    from etlbox_spark.engine import merge as merge_mod
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    monkeypatch.setattr(merge_mod, "_finalize_delta", lambda d, e: None)
+    apply_epoch(spark, t, spark.createDataFrame(EPOCHS[0], EVENTS_SCHEMA),
+                SPEC, MergeMode.DELTA, 0, delta_dir=str(tmp_path / "d"))
+    monkeypatch.undo()
+    assert t.is_committed(0)
+    d = str(tmp_path / "d")
+    assert not os.path.exists(os.path.join(d, "epoch=0"))
+    # a crashed quarantine rename of the same committed epoch
+    qroot = os.path.join(d, "_quarantine")
+    os.makedirs(os.path.join(qroot, "_inflight-epoch-0"))
+    with open(os.path.join(qroot, "_inflight-epoch-0", "part.parquet"), "wb") as f:
+        shutil.copyfileobj(
+            open(next(
+                os.path.join(d, "_inflight-epoch-0", n)
+                for n in os.listdir(os.path.join(d, "_inflight-epoch-0"))
+                if n.endswith(".parquet")
+            ), "rb"),
+            f,
+        )
+
+    real_replace = os.replace
+
+    def racing_replace(src, dst, *a, **kw):
+        if os.path.basename(str(src)).startswith("_inflight-epoch-"):
+            real_replace(src, dst)  # the concurrent winner renames first...
+            return real_replace(src, dst)  # ...so this attempt raises ENOENT
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", racing_replace)
+    merge_mod._finalize_delta(d, 0)  # must not raise
+    merge_mod._finalize_quarantine(d, 0)  # must not raise
+    monkeypatch.undo()
+
+    d0 = spark.read.parquet(os.path.join(d, "epoch=0"))
+    assert {r.action for r in d0.collect()} == {"insert"}
+    assert os.path.isdir(os.path.join(qroot, "epoch=0"))
+    assert not os.path.exists(os.path.join(d, "_inflight-epoch-0"))
+    assert not os.path.exists(os.path.join(qroot, "_inflight-epoch-0"))

@@ -113,6 +113,42 @@ def test_vacuum_survives_files_vanishing_mid_walk(spark, tmp_path):
     assert _state(spark, t) == latest_state
 
 
+def test_vacuum_survives_concurrent_manifest_expiry(spark, tmp_path, monkeypatch):
+    """Two vacuums can race on the same table: the loser's os.remove of an
+    expirable manifest finds it already gone. The sweep must credit the
+    winner (not double-count) and keep expiring the rest — not abort the
+    meta walk. Driven by an os.remove wrapper that lets the 'other
+    vacuum' win the first manifest."""
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 2)
+    _apply_n_epochs(spark, t)
+    t.rebucket(spark, 4)
+    latest_state = _state(spark, t)
+    expirable = t.latest_version()  # versions 0..latest-1 are expirable
+
+    real_remove = os.remove
+    stolen = []
+
+    def racing_remove(p, *a, **kw):
+        name = os.path.basename(str(p))
+        if not stolen and name.startswith("v") and name.endswith(".json") and ".ckpt." not in name:
+            stolen.append(name)
+            real_remove(p)  # the concurrent winner removes it first...
+            return real_remove(p)  # ...so this attempt raises ENOENT
+        return real_remove(p, *a, **kw)
+
+    monkeypatch.setattr(os, "remove", racing_remove)
+    stats = t.vacuum(keep_versions=1)
+    monkeypatch.setattr(os, "remove", real_remove)
+
+    assert stolen  # the race actually fired
+    # the stolen manifest belongs to the winner; this sweep expired the rest
+    assert stats["manifests_deleted"] == expirable - 1
+    live = [n for n in os.listdir(t._meta_dir)
+            if n.startswith("v") and n.endswith(".json") and ".ckpt." not in n]
+    assert live == [f"v{t.latest_version()}.json"]
+    assert _state(spark, t) == latest_state
+
+
 def test_delete_where_rewrites_only_hit_buckets(spark, tmp_path):
     """DELETE FROM ... WHERE analog: matching rows vanish, untouched
     buckets carry over by file reference, NULL-condition rows are kept
