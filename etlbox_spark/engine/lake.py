@@ -1397,9 +1397,32 @@ class LakeTable:
         import shutil
 
         final = os.path.join(os.path.dirname(tmp), f"version={version}")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        # commit versions are CAS-unique, so whoever installs version=V
+        # installs THIS commit's change set: a concurrent healer that
+        # token-matched the published record may rename tmp into place
+        # before the owner gets here, and its rename establishes exactly
+        # this postcondition — recognize that as success rather than
+        # rmtree-ing the healed dir and then failing the replace on the
+        # vanished source (which would LOSE the change set)
+        try:
+            os.replace(tmp, final)  # the common case: final absent
+            return final
+        except OSError:
+            pass
+        if not os.path.exists(tmp):
+            if os.path.isdir(final):
+                return final  # a healer finalized this very attempt
+            raise FileNotFoundError(f"maintenance change set lost: {tmp}")
+        # tmp still staged and the rename refused: final holds STALE
+        # foreign content (a feed dir surviving a table wipe/recreate) —
+        # clobber it and install ours, tolerating a healer winning the
+        # retry window
+        shutil.rmtree(final, ignore_errors=True)
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            if not os.path.isdir(final):
+                raise
         return final
 
     def delete_where(

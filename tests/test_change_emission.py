@@ -214,6 +214,56 @@ def test_heal_survives_concurrent_finalize_race(spark, tmp_path, monkeypatch):
     assert not any(n.startswith("_inflight-") for n in os.listdir(mroot))
 
 
+def test_owner_finalize_survives_healer_winning_first(spark, tmp_path, monkeypatch):
+    """The destructive variant of the finalize race: a concurrent actor's
+    heal pass (every delete_where/rollback entry runs one) can rename the
+    owner's published-but-unrenamed tmp into place BEFORE the owner's own
+    finalize. The owner must recognize the healed dir as its own set
+    (commit versions are CAS-unique, token-proven content) — the old code
+    rmtree'd it and then failed the replace on the vanished source,
+    LOSING the change set."""
+    t = _mk(tmp_path)
+    d = str(tmp_path / "delta")
+    _apply(spark, t, [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1")], 0, d)
+
+    real_fin = LakeTable._finalize_maintenance_changes
+
+    def healer_wins_first(tmp, version):
+        t._heal_maintenance_feed(d)  # the concurrent healer finalizes first
+        return real_fin(tmp, version)
+
+    monkeypatch.setattr(
+        LakeTable, "_finalize_maintenance_changes", staticmethod(healer_wins_first)
+    )
+    res = t.delete_where(spark, "path = 'p1'", emit_changes=True, delta_dir=d)
+    monkeypatch.setattr(LakeTable, "_finalize_maintenance_changes", staticmethod(real_fin))
+
+    assert res["rows_deleted"] == 1
+    rows = read_maintenance_changes(spark, d).collect()
+    assert [(r["path"], r["action"], r["content"]) for r in rows] == [("p1", "delete", "a1")]
+    mroot = os.path.join(d, "_maint")
+    assert not any(n.startswith("_inflight-") for n in os.listdir(mroot))
+
+
+def test_finalize_clobbers_stale_foreign_final(tmp_path):
+    """A feed dir surviving a table wipe/recreate can hold a STALE
+    version=V from the previous table's life; the fresh commit's set must
+    replace it (the only case the destructive clobber was ever for)."""
+    mroot = tmp_path / "_maint"
+    stale = mroot / "version=7"
+    stale.mkdir(parents=True)
+    (stale / "old.parquet").write_text("stale")
+    tmp = mroot / "_inflight-v7-deadbeef"
+    tmp.mkdir()
+    (tmp / "new.parquet").write_text("fresh")
+
+    final = LakeTable._finalize_maintenance_changes(str(tmp), 7)
+
+    assert final == str(stale)
+    assert sorted(os.listdir(final)) == ["new.parquet"]
+    assert not tmp.exists()
+
+
 def test_stream_maintenance_changes_drains_erasures(spark, tmp_path):
     from etlbox_spark.streaming.tail import stream_maintenance_changes
 
