@@ -14,6 +14,19 @@ Per-leg steal% and the epoch-wall dispersion (max/min over the window)
 are carried so contaminated legs are identifiable from the artifact
 itself rather than asserted.
 
+Three views, all reported (no silent exclusion):
+
+* leg-median efficiency — eff(median over all rounds of each leg);
+  drifts low when contamination is asymmetric across configs.
+* per-round efficiency median — each round pairs its own two legs in
+  time, so slow drift in box conditions cancels within a round.
+* clean-subset — rounds whose BOTH legs show steal <= 0.5% AND
+  window epoch-wall dispersion <= 1.5 (epochs are identical-size work
+  on identical input, so window dispersion above that on a warm JVM is
+  external interference, e.g. co-tenant memory-bus pressure that steal%
+  cannot see). The criterion, the subset size and WHICH rounds qualify
+  are all in the artifact.
+
 Usage: python tools/aggregate_scaling.py OUT.json round1.json round2.json ...
 """
 
@@ -85,6 +98,38 @@ def main() -> None:
         ],
         "target": 0.8,
     }
+    summary["per_round_efficiency_sustained_median"] = median(
+        summary["per_round_efficiency_sustained"]
+    )
+    summary["per_round_efficiency_robust_median"] = median(
+        summary["per_round_efficiency_robust"]
+    )
+
+    # Clean-subset view: pre-declared criterion, nothing silently dropped.
+    clean_idx = [
+        i
+        for i in range(len(rounds))
+        if all(
+            (legs[cfg][i]["steal_pct"] or 0) <= 0.5
+            and legs[cfg][i]["window_dispersion"] <= 1.5
+            for cfg in (a, b)
+        )
+    ]
+    summary["clean_subset_criterion"] = (
+        "both legs steal_pct <= 0.5 and window_dispersion <= 1.5"
+    )
+    summary["clean_subset_rounds"] = clean_idx
+    if clean_idx:
+        for est in ("sustained", "robust"):
+            key = f"{est}_ev_s"
+            ca = median([legs[a][i][key] for i in clean_idx])
+            cb = median([legs[b][i][key] for i in clean_idx])
+            summary[f"clean_local{a}_{est}_median"] = ca
+            summary[f"clean_local{b}_{est}_median"] = cb
+            summary[f"clean_efficiency_{est}"] = round(cb / ca / ratio, 3)
+            summary[f"clean_per_round_efficiency_{est}_median"] = median(
+                [summary[f"per_round_efficiency_{est}"][i] for i in clean_idx]
+            )
     summary["pass_sustained"] = summary["efficiency_sustained_median"] >= 0.8
     summary["pass_robust"] = summary["efficiency_robust_median"] >= 0.8
     with open(out_path, "w") as f:
