@@ -2424,6 +2424,15 @@ class LakeTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return self.manifest().schema(version)
 
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Read-only integrity audit of this table (engine/fsck.py):
+        manifest chain, checkpoint agreement, file liveness, bloom
+        decodability, tag pins, orphan listing. Returns the report
+        dict; ``report["ok"]`` is False iff errors were found."""
+        from .fsck import fsck as _fsck
+
+        return _fsck(self, deep=deep)
+
     def history(self) -> list[dict[str, Any]]:
         """Snapshot history, newest first, within the retained (not yet
         vacuumed) manifest window — the Delta ``DESCRIBE HISTORY`` /

@@ -1,0 +1,178 @@
+"""Integrity-audit tests (engine/fsck.py): a healthy table — through
+epochs, MoR deltas, compaction, tags and vacuum — audits clean, and
+each corruption class an operator actually meets (vanished data file,
+tampered stats, undecodable bloom, diverging checkpoint, dangling tag,
+orphaned file) is pinned to its error code."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from etlbox_spark.engine import LakeTable, MergeMode, MergeSpec, apply_epoch
+
+from .conftest import EVENTS_SCHEMA, REPO_FILES_SCHEMA, ev
+
+SPEC = MergeSpec(compare_cols=("content",))
+
+EPOCHS = [
+    [ev(1, "insert", "p1", "a1"), ev(2, "insert", "p2", "b1"), ev(3, "insert", "p3", "c1")],
+    [ev(10, "update", "p2", "b2"), ev(11, "delete", "p1"), ev(12, "insert", "p4", "d1")],
+    [ev(20, "insert", "p1", "a2"), ev(21, "update", "p4", "d2"), ev(22, "delete", "p3")],
+]
+
+
+def _mk(spark, tmp_path, name="t", mor=True, epochs=3):
+    props = {"write.mode": "mor"} if mor else {}
+    t = LakeTable.create(
+        str(tmp_path / name), REPO_FILES_SCHEMA, ["repo", "path"], 4, properties=props
+    )
+    for i, rows in enumerate(EPOCHS[:epochs]):
+        apply_epoch(spark, t, spark.createDataFrame(rows, EVENTS_SCHEMA), SPEC, MergeMode.DELTA, i)
+    return t
+
+
+def _codes(report):
+    return {e["code"] for e in report["errors"]}
+
+
+def test_fsck_clean_table_deep(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.tag("release", t.latest_version())
+    r = t.fsck(deep=True)
+    assert r["ok"], r["errors"]
+    assert r["orphans"] == []
+    assert r["checked"]["versions"] >= 4  # create + 3 epochs
+    assert r["checked"]["files"] > 0 and r["checked"]["footers"] > 0
+    # MoR deltas carry inline blooms — the deep pass must have probed them
+    assert r["checked"]["blooms"] > 0
+
+
+def test_fsck_clean_after_compact_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.compact(spark)
+    t.vacuum(keep_versions=1, grace_s=-1.0)
+    r = t.fsck(deep=True)
+    assert r["ok"], r["errors"]
+    assert r["orphans"] == []
+
+
+def test_fsck_detects_missing_file(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    victim = os.path.join(t.root, t.manifest().files[0]["path"])
+    os.remove(victim)
+    r = t.fsck()
+    assert not r["ok"]
+    assert "file-missing" in _codes(r)
+
+
+def test_fsck_deep_detects_tampered_stats_and_bloom(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # tamper the latest commit record: bump one added entry's row count
+    # and corrupt another's bloom payload (records are the only place
+    # entries live — the manifest cache misses on the new mtime)
+    vpath = t._vpath(t.latest_version())
+    with open(vpath, encoding="utf-8") as f:
+        rec = json.load(f)
+    entries = rec["add"] if "add" in rec else rec["files"]
+    entries[0]["rows"] += 1
+    bloomed = [e for e in entries if "khash_bloom" in e]
+    assert bloomed, "MoR delta entries should carry blooms"
+    bloomed[0]["khash_bloom"]["z"] = "!!!not-base64!!!"
+    with open(vpath, "w", encoding="utf-8") as f:
+        json.dump(rec, f)
+    r = t.fsck(deep=True)
+    assert not r["ok"]
+    codes = _codes(r)
+    assert "rows-mismatch" in codes
+    assert "bloom-undecodable" in codes
+
+
+def _write_ckpt(t, v, mutate=None):
+    """Hand-write a v{N}.ckpt.json in the shape vacuum's metadata
+    compaction produces; ``mutate`` tampers the state dict first."""
+    m = t.manifest(v)
+    state = {
+        "version": m.version,
+        "key_cols": m.key_cols,
+        "n_buckets": m.n_buckets,
+        "current_schema_version": m.current_schema_version,
+        "schemas": m.schemas,
+        "files": [dict(e) for e in m.files],
+        "committed_epochs": m.committed_epochs,
+        "parent": m.parent,
+        "properties": m.properties,
+        "operation": m.operation,
+    }
+    if mutate is not None:
+        mutate(state)
+    with open(t._ckpt_path(v), "w", encoding="utf-8") as f:
+        json.dump(state, f)
+
+
+def test_fsck_detects_checkpoint_divergence(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # diverge the checkpoint from what the records replay to
+    _write_ckpt(t, t.latest_version(), mutate=lambda s: s["files"].pop())
+    r = t.fsck()
+    assert not r["ok"]
+    assert "checkpoint-divergent" in _codes(r)
+
+
+def test_fsck_detects_dangling_tag(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    pinned = t.latest_version() - 1
+    latest = t.tag("keep", pinned)
+    # simulate the tag-vs-vacuum residue: the pinned version's record
+    # vanishes while the tag property survives on the latest manifest.
+    # A checkpoint keeps the latest snapshot reconstructible (exactly
+    # what metadata compaction guarantees when records are dropped).
+    _write_ckpt(t, latest)
+    os.remove(t._vpath(pinned))
+    r = t.fsck()
+    assert not r["ok"]
+    assert "tag-dangling" in _codes(r)
+
+
+def test_fsck_reports_orphans_but_stays_ok(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    stray = os.path.join(t._data_dir, "stray", "zombie.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    old = time.time() - 3600
+    os.utime(stray, (old, old))
+    r = t.fsck()
+    assert r["ok"], r["errors"]  # orphans are vacuum candidates, not errors
+    assert r["orphans"] == [os.path.relpath(stray, t.root)]
+
+
+def test_fsck_warns_on_inflight_recent_file(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    stray = os.path.join(t._data_dir, "commit-x", "bucket_p=0", "part.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"fresh")
+    r = t.fsck()
+    assert r["ok"]
+    assert r["orphans"] == []
+    assert any(w["code"] == "inflight-file" for w in r["warnings"])
+
+
+def test_fsck_cli_exit_codes(spark, tmp_path):
+    import subprocess
+    import sys
+
+    t = _mk(spark, tmp_path, epochs=1)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cli = os.path.join(repo, "tools", "fsck.py")
+    ok = subprocess.run(
+        [sys.executable, cli, t.root, "--deep"], capture_output=True, text=True
+    )
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    assert json.loads(ok.stdout)["ok"] is True
+    os.remove(os.path.join(t.root, t.manifest().files[0]["path"]))
+    bad = subprocess.run([sys.executable, cli, t.root], capture_output=True, text=True)
+    assert bad.returncode == 1
+    assert json.loads(bad.stdout)["ok"] is False

@@ -212,3 +212,10 @@ def test_multi_writer_soak(spark, tmp_path):
     # a second vacuum finds nothing left to do
     stats = t.vacuum(keep_versions=1, grace_s=0.0)
     assert stats["files_deleted"] == 0
+    # and the independent integrity audit agrees: after the whole churn
+    # the on-disk state satisfies every commit-protocol invariant
+    # (manifest chain, checkpoint agreement, file liveness, footer
+    # stats, bloom membership, tag pins) with nothing orphaned
+    report = t.fsck(deep=True)
+    assert report["ok"], report["errors"]
+    assert report["orphans"] == []
