@@ -30,9 +30,21 @@ the checks themselves are this engine's own commit-protocol contracts:
   ``orphans`` (vacuum candidates, not errors); files newer than the
   latest commit record are assumed in-flight and only warned about.
 
-Scope: the table root only. Delta-log epoch directories, quarantine and
-the maintenance change feed live under the caller's ``delta_dir`` and
-have their own heal-on-retry protocols (engine/merge.py).
+Passing ``delta_dir`` extends the audit to the change log — the other
+half of the exactly-once story (engine/merge.py's rename protocol):
+
+* a visible ``epoch=N`` dir whose epoch the lake does NOT mark
+  committed is the rename-protocol invariant broken — an ERROR when the
+  retained history contains no ``rollback`` that could have unmarked it
+  (after a rollback the stale dir is legal until re-replay rewrites it,
+  so it degrades to a warning);
+* interior gaps in the visible epoch range, unhealed ``_inflight``
+  attempt dirs (incl. quarantine's), and legacy ``=``-named temp dirs
+  are warnings — all healable or legal states;
+* a ``_maint/version=V`` change set must correspond to a lake commit
+  (``V ≤ latest``) and, when V's record is retained, to a commit that
+  actually declared a change emission (``change_token``) — a visible
+  set without either is an ERROR (the heal protocol's proof broken).
 
 Cost model (100 TB honesty): the default pass is pure metadata —
 O(retained versions) record parses + one ``stat`` per live file.
@@ -207,9 +219,143 @@ def _check_entry(table: LakeTable, m: Manifest, e: dict, deep: bool, report: dic
                 )
 
 
-def fsck(table: LakeTable, deep: bool = False) -> dict[str, Any]:
-    """Audit ``table``; returns a report dict. ``ok`` is True iff no
-    errors (warnings and orphans never fail the audit)."""
+def _suffix_int(name: str, prefix: str) -> int | None:
+    try:
+        return int(name[len(prefix):])
+    except ValueError:
+        return None
+
+
+def _check_delta_log(
+    table: LakeTable, delta_dir: str, latest: Manifest, versions: list[int], report: dict
+) -> None:
+    """Audit a change-log directory against the lake's commit state."""
+    committed = set(latest.committed_epochs)
+    # a retained rollback (or a truncated retained history, which could
+    # hide one) means unmarked epoch dirs are a legal post-rollback
+    # state rather than a broken rename protocol
+    rollback_possible = 0 not in versions
+    for v in versions:
+        try:
+            if table._load_record(v).get("operation") == "rollback":
+                rollback_possible = True
+                break
+        except (OSError, json.JSONDecodeError):
+            rollback_possible = True  # unreadable record — can't prove
+    now = time.time()
+
+    def _sweep(root: str, kind: str) -> list[int]:
+        eps: list[int] = []
+        if not os.path.isdir(root):
+            return eps
+        for fn in os.listdir(root):
+            p = os.path.join(root, fn)
+            if fn.startswith("epoch="):
+                n = _suffix_int(fn, "epoch=")
+                if n is None:
+                    _warn(report, "stray-log-dir", f"{kind}: {fn}")
+                elif n not in committed:
+                    detail = (
+                        f"{kind}: epoch={n} is visible but the lake does not "
+                        f"mark epoch {n} committed"
+                    )
+                    if rollback_possible:
+                        _warn(
+                            report,
+                            "epoch-dir-unmarked",
+                            detail + " (a retained rollback could have "
+                            "unmarked it; re-replay rewrites the dir)",
+                        )
+                    else:
+                        _err(report, "epoch-dir-uncommitted", detail)
+                else:
+                    eps.append(n)
+            elif fn.startswith("_inflight-epoch-"):
+                n = _suffix_int(fn, "_inflight-epoch-")
+                if n is not None and n in committed:
+                    _warn(
+                        report,
+                        "unhealed-inflight-log",
+                        f"{kind}: epoch {n} committed but its attempt dir was "
+                        "never finalized (healed on the next replay/read)",
+                    )
+                else:
+                    try:
+                        age = now - os.path.getmtime(p)
+                    except OSError:
+                        continue
+                    if age > _STALE_MARKER_S:
+                        _warn(report, "stale-log-attempt", f"{kind}: {fn} (crashed writer?)")
+            elif fn.startswith("_inflight-epoch="):
+                _warn(report, "legacy-log-attempt", f"{kind}: {fn} (pre-rename-era name)")
+        return eps
+
+    eps = _sweep(delta_dir, "delta-log")
+    if eps:
+        missing = sorted(set(range(min(eps), max(eps) + 1)) - set(eps))
+        interior_committed = [e for e in missing if e in committed]
+        if interior_committed:
+            _warn(
+                report,
+                "epoch-dir-gap",
+                f"delta-log: committed epochs {interior_committed} have no "
+                "epoch dir inside the visible range (expiry takes a prefix; "
+                "an interior gap means a dir was lost or that epoch was "
+                "applied without a delta_dir)",
+            )
+    report["checked"]["log_epochs"] = len(eps)
+    _sweep(os.path.join(delta_dir, "_quarantine"), "quarantine")
+    _sweep(os.path.join(table.root, "_quarantine"), "quarantine")
+
+    mroot = os.path.join(delta_dir, "_maint")
+    n_maint = 0
+    if os.path.isdir(mroot):
+        for fn in os.listdir(mroot):
+            if fn.startswith("_"):
+                try:
+                    age = now - os.path.getmtime(os.path.join(mroot, fn))
+                except OSError:
+                    continue
+                if age > _STALE_MARKER_S:
+                    _warn(report, "stale-maint-attempt", f"_maint/{fn}")
+                continue
+            if not fn.startswith("version="):
+                _warn(report, "stray-log-dir", f"_maint/{fn}")
+                continue
+            v = _suffix_int(fn, "version=")
+            if v is None:
+                _warn(report, "stray-log-dir", f"_maint/{fn}")
+                continue
+            n_maint += 1
+            if v > latest.version:
+                _err(
+                    report,
+                    "maint-set-future",
+                    f"_maint/version={v} but the lake's latest commit is "
+                    f"v{latest.version} (a visible set must prove its commit)",
+                )
+                continue
+            if v in versions:
+                try:
+                    rec = table._load_record(v)
+                except (OSError, json.JSONDecodeError):
+                    continue  # unreadable record reported by the chain pass
+                if not rec.get("change_token"):
+                    _err(
+                        report,
+                        "maint-set-unclaimed",
+                        f"_maint/version={v} exists but commit v{v} declares "
+                        "no change emission (change_token missing)",
+                    )
+    report["checked"]["maint_sets"] = n_maint
+
+
+def fsck(
+    table: LakeTable, deep: bool = False, delta_dir: str | None = None
+) -> dict[str, Any]:
+    """Audit ``table`` (and its change log when ``delta_dir`` is given);
+    returns a report dict. ``ok`` is True iff no errors (warnings and
+    orphans never fail the audit)."""
     report: dict[str, Any] = {
         "ok": True,
         "root": table.root,
@@ -344,5 +490,10 @@ def fsck(table: LakeTable, deep: bool = False) -> dict[str, Any]:
             else:
                 report["orphans"].append(rel)
     report["orphans"].sort()
+
+    # 7. change-log audit (opt-in — the log lives outside the table root)
+    if delta_dir is not None and latest in snapshots:
+        _check_delta_log(table, delta_dir, snapshots[latest], versions, report)
+
     report["ok"] = not report["errors"]
     return report

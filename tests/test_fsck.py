@@ -23,13 +23,21 @@ EPOCHS = [
 ]
 
 
-def _mk(spark, tmp_path, name="t", mor=True, epochs=3):
+def _mk(spark, tmp_path, name="t", mor=True, epochs=3, delta_dir=None):
     props = {"write.mode": "mor"} if mor else {}
     t = LakeTable.create(
         str(tmp_path / name), REPO_FILES_SCHEMA, ["repo", "path"], 4, properties=props
     )
     for i, rows in enumerate(EPOCHS[:epochs]):
-        apply_epoch(spark, t, spark.createDataFrame(rows, EVENTS_SCHEMA), SPEC, MergeMode.DELTA, i)
+        apply_epoch(
+            spark,
+            t,
+            spark.createDataFrame(rows, EVENTS_SCHEMA),
+            SPEC,
+            MergeMode.DELTA,
+            i,
+            delta_dir=delta_dir,
+        )
     return t
 
 
@@ -176,3 +184,64 @@ def test_fsck_cli_exit_codes(spark, tmp_path):
     bad = subprocess.run([sys.executable, cli, t.root], capture_output=True, text=True)
     assert bad.returncode == 1
     assert json.loads(bad.stdout)["ok"] is False
+
+
+# -------------------------------------------------------- change-log audit
+
+
+def test_fsck_delta_log_clean(spark, tmp_path):
+    d = str(tmp_path / "delta")
+    t = _mk(spark, tmp_path, delta_dir=d, mor=False)
+    t.delete_where(spark, "path = 'p2'", emit_changes=True, delta_dir=d)
+    r = t.fsck(deep=True, delta_dir=d)
+    assert r["ok"], r["errors"]
+    assert r["checked"]["log_epochs"] == 3
+    assert r["checked"]["maint_sets"] == 1
+
+
+def test_fsck_detects_uncommitted_epoch_dir(spark, tmp_path):
+    d = str(tmp_path / "delta")
+    t = _mk(spark, tmp_path, delta_dir=d, mor=False)
+    # a visible epoch dir the lake never committed = the rename-protocol
+    # invariant broken (no rollback in the retained history)
+    os.makedirs(os.path.join(d, "epoch=99"))
+    r = t.fsck(delta_dir=d)
+    assert not r["ok"]
+    assert "epoch-dir-uncommitted" in _codes(r)
+
+
+def test_fsck_unmarked_epoch_dir_after_rollback_is_warning(spark, tmp_path):
+    d = str(tmp_path / "delta")
+    t = _mk(spark, tmp_path, delta_dir=d, mor=False)
+    t.rollback(t.latest_version() - 1)  # unmarks epoch 2; its dir persists
+    r = t.fsck(delta_dir=d)
+    assert r["ok"], r["errors"]
+    assert any(w["code"] == "epoch-dir-unmarked" for w in r["warnings"])
+
+
+def test_fsck_detects_bogus_maintenance_sets(spark, tmp_path):
+    d = str(tmp_path / "delta")
+    t = _mk(spark, tmp_path, delta_dir=d, mor=False)
+    # future version: no commit could have produced it
+    os.makedirs(os.path.join(d, "_maint", "version=999"))
+    # claimed by an existing commit that declared no change emission
+    os.makedirs(os.path.join(d, "_maint", f"version={t.latest_version()}"))
+    r = t.fsck(delta_dir=d)
+    assert not r["ok"]
+    codes = _codes(r)
+    assert "maint-set-future" in codes
+    assert "maint-set-unclaimed" in codes
+
+
+def test_fsck_warns_on_gap_and_unhealed_inflight(spark, tmp_path):
+    d = str(tmp_path / "delta")
+    t = _mk(spark, tmp_path, delta_dir=d, mor=False)
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "epoch=1"))  # interior gap
+    os.makedirs(os.path.join(d, "_inflight-epoch-0"))  # committed, unhealed
+    r = t.fsck(delta_dir=d)
+    assert r["ok"], r["errors"]
+    wcodes = {w["code"] for w in r["warnings"]}
+    assert "epoch-dir-gap" in wcodes
+    assert "unhealed-inflight-log" in wcodes

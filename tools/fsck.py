@@ -26,8 +26,14 @@ def main() -> int:
         help="also open parquet footers of the latest snapshot "
         "(rows/stats/bloom cross-checks; O(#files) footer reads)",
     )
+    ap.add_argument(
+        "--delta-dir",
+        default=None,
+        help="change-log directory to audit against the lake's commit "
+        "state (epoch-dir/marker agreement, maintenance sets)",
+    )
     args = ap.parse_args()
-    report = LakeTable.load(args.root).fsck(deep=args.deep)
+    report = LakeTable.load(args.root).fsck(deep=args.deep, delta_dir=args.delta_dir)
     print(json.dumps(report, indent=1, sort_keys=True))
     return 0 if report["ok"] else 1
 
