@@ -283,15 +283,13 @@ class Manifest:
         # declared fields only: committers ride the per-commit delta
         # record on the instance as a ``_delta`` attribute, which must
         # never leak into a serialized full state
-        return json.dumps(
-            {f.name: getattr(self, f.name) for f in dataclass_fields(self)},
-            sort_keys=True,
-            indent=1,
-        )
+        d = {f.name: getattr(self, f.name) for f in dataclass_fields(self)}
+        d["committed_epochs"] = _epoch_runs(self.committed_epochs)
+        return json.dumps(d, sort_keys=True, indent=1)
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
-        return Manifest(**json.loads(s))
+        return _manifest_from_dict(json.loads(s))
 
     @property
     def total_rows(self) -> int:
@@ -328,6 +326,37 @@ def _is_delta_record(d: dict[str, Any]) -> bool:
     return d.get("record") == "delta"
 
 
+def _epoch_runs(eps: "list[int]") -> "list[list[int]]":
+    """Wire encoding of ``committed_epochs``: inclusive ``[lo, hi]``
+    runs. Epochs are near-contiguous by construction (a binlog tail
+    marks them densely; only rollback carves a gap), so a checkpoint or
+    full record carries O(#gaps) ints instead of O(#epochs) — at
+    10^10-event scale (10^5+ epochs) the flat list was the last
+    unbounded-per-checkpoint component of the metadata layer. Input
+    must be sorted unique (the in-memory invariant)."""
+    runs: "list[list[int]]" = []
+    for e in eps:
+        if runs and e == runs[-1][1] + 1:
+            runs[-1][1] = e
+        else:
+            runs.append([int(e), int(e)])
+    return runs
+
+
+def _epochs_flat(v: "list") -> "list[int]":
+    """Parse either wire shape back to the in-memory flat sorted list:
+    ``[lo, hi]`` runs (current) or flat ints (pre-r05 records remain
+    readable — format compatibility, not a migration)."""
+    out: "list[int]" = []
+    for item in v:
+        if isinstance(item, list):
+            out.extend(range(int(item[0]), int(item[1]) + 1))
+        else:
+            out.append(int(item))
+    out.sort()
+    return out
+
+
 _MANIFEST_FIELD_NAMES = frozenset(f.name for f in dataclass_fields(Manifest))
 
 
@@ -335,7 +364,9 @@ def _manifest_from_dict(d: dict[str, Any]) -> Manifest:
     """Parse a full-state record/checkpoint, ignoring annotation keys
     (e.g. ``change_token`` on an emitting rollback) — full records may
     carry commit metadata beyond the state fields."""
-    return Manifest(**{k: v for k, v in d.items() if k in _MANIFEST_FIELD_NAMES})
+    kw = {k: v for k, v in d.items() if k in _MANIFEST_FIELD_NAMES}
+    kw["committed_epochs"] = _epochs_flat(kw.get("committed_epochs", []))
+    return Manifest(**kw)
 
 
 def _apply_delta_record(parent: Manifest, rec: dict[str, Any]) -> Manifest:
@@ -550,6 +581,7 @@ class LakeTable:
             payload = json.dumps(delta, sort_keys=True)
         else:
             d = {f.name: getattr(m, f.name) for f in dataclass_fields(m)}
+            d["committed_epochs"] = _epoch_runs(m.committed_epochs)
             d.update(getattr(m, "_record_extra", None) or {})
             payload = json.dumps(d, sort_keys=True, indent=1)
         mpath = self._vpath(m.version)

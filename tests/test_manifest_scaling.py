@@ -121,7 +121,8 @@ def test_checkpoint_interval_bounds_chain_length(spark, tmp_path):
     _clear_cache()
     ck = json.load(open(t._ckpt_path(8)))
     assert "files" in ck and "record" not in ck
-    assert ck["committed_epochs"] == list(range(8))
+    # epochs serialize as [lo, hi] runs — O(#gaps), not O(#epochs)
+    assert ck["committed_epochs"] == [[0, 7]]
     # cold read of an intermediate version lands on the nearest ckpt
     _clear_cache()
     m6 = LakeTable.load(t.root).manifest(6)
@@ -210,3 +211,35 @@ def test_epoch_rebase_across_interleaved_maintenance_chain(spark, tmp_path, monk
     v = t.commit_delta_buckets(upd, bks, epoch_id=1, base_version=base)
     assert v == t.latest_version() and t.is_committed(1)
     assert _state(spark, t) == {("r0", "p1", "A2"), ("r1", "p2", "B")}
+
+
+def test_epoch_runs_wire_encoding_round_trips():
+    """committed_epochs serialize as [lo, hi] runs (O(#gaps) — the last
+    unbounded-per-checkpoint component at 10^5+ epochs) and parse back;
+    legacy flat-int records remain readable."""
+    from etlbox_spark.engine.lake import Manifest, _epoch_runs, _epochs_flat
+
+    assert _epoch_runs([]) == []
+    assert _epoch_runs([0, 1, 2, 5, 7, 8]) == [[0, 2], [5, 5], [7, 8]]
+    assert _epochs_flat([[0, 2], [5, 5], [7, 8]]) == [0, 1, 2, 5, 7, 8]
+    assert _epochs_flat([0, 1, 2, 5]) == [0, 1, 2, 5]  # legacy flat
+    # a dense 100k-epoch history costs ~one run on the wire, not 100k ints
+    big = Manifest(
+        version=3,
+        key_cols=["repo", "path"],
+        n_buckets=8,
+        current_schema_version=0,
+        schemas={"0": {"type": "struct", "fields": []}},
+        files=[],
+        committed_epochs=list(range(100_000)),
+        parent=2,
+        properties={},
+        operation="epoch",
+    )
+    s = big.to_json()
+    assert len(s) < 2_000, f"runs encoding should be tiny, got {len(s)}B"
+    back = Manifest.from_json(s)
+    assert back.committed_epochs == list(range(100_000))
+    # a rollback-carved gap stays a gap
+    big.committed_epochs = [*range(10), *range(20, 30)]
+    assert Manifest.from_json(big.to_json()).committed_epochs == big.committed_epochs

@@ -103,6 +103,14 @@ def test_delete_where_task(spark, tmp_path):
     assert row_count_task(t.root) == 2
 
 
+def test_fsck_task(spark, tmp_path):
+    from etlbox_spark.tasks import fsck_task
+
+    t = _seeded(spark, tmp_path)
+    report = fsck_task(t.root, deep=True)
+    assert report["ok"] and report["orphans"] == []
+
+
 def test_load_process_journal(tmp_path):
     lp = LoadProcess(str(tmp_path / "log" / "loads.jsonl"), "nightly_merge")
     lp.start(epoch=7).end(rows_in=100, rows_out=98)
