@@ -118,13 +118,31 @@ def _records_only_state(table: LakeTable, v: int, report: dict) -> Manifest | No
             _err(report, "record-unreadable", f"v{cur}.json: {e}")
             return None
         if not _is_delta_record(rec):
-            base = _manifest_from_dict(rec)
+            try:
+                base = _manifest_from_dict(rec)
+            except (TypeError, ValueError, KeyError) as e:
+                _err(report, "record-unreadable", f"v{cur}.json: {type(e).__name__}: {e}")
+                return None
             break
         chain.append(rec)
-        cur = int(rec["parent"])
+        try:
+            parent = int(rec["parent"])
+        except (KeyError, TypeError, ValueError):
+            _err(report, "chain-corrupt", f"v{cur}.json: delta record without a parseable parent")
+            return None
+        if parent >= cur:
+            # parents strictly decrease by protocol; a cycle would loop
+            # this walk (and the engine's) forever — report, don't hang
+            _err(report, "chain-corrupt", f"v{cur}.json: parent v{parent} does not decrease")
+            return None
+        cur = parent
     m = base
     for rec in reversed(chain):
-        m = _apply_delta_record(m, rec)
+        try:
+            m = _apply_delta_record(m, rec)
+        except Exception as e:
+            _err(report, "chain-apply-failed", f"v{rec.get('version')}: {type(e).__name__}: {e}")
+            return None
     return m
 
 

@@ -524,6 +524,14 @@ class LakeTable:
                 break
             chain.append(cur_rec)
             pv = int(cur_rec["parent"])
+            if pv >= cur_v:
+                # the protocol writes parent = the version rebased on,
+                # always strictly smaller — a non-decreasing parent is
+                # corrupt metadata and would loop this walk forever
+                raise RuntimeError(
+                    f"corrupt metadata: record v{cur_v} declares parent "
+                    f"v{pv} (parents must strictly decrease)"
+                )
             try:
                 pst = os.stat(self._vpath(pv))
             except FileNotFoundError:
