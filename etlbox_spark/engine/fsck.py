@@ -50,8 +50,12 @@ Cost model (100 TB honesty): the default pass is pure metadata —
 O(retained versions) record parses + one ``stat`` per live file.
 ``deep=True`` opens one parquet FOOTER per live file of the latest
 snapshot (no column data except nothing at all — footers carry the
-stats); on a 10^5-file table that is ~10^5 small reads, an explicitly
-operator-invoked audit, never a hot path.
+stats); on a 10^5-file table that is ~10^5 small reads. Sequential on
+the driver by default; pass ``spark=`` to run the footer scan as one
+Arrow-batched Spark job (``mapInPandas`` over the entry list — same
+checks, same error codes, O(#files / cores) wall), which is the mode a
+10^5-file audit should use. An explicitly operator-invoked audit,
+never a hot path either way.
 """
 
 from __future__ import annotations
@@ -159,7 +163,79 @@ def _manifest_key(m: Manifest) -> tuple:
     )
 
 
-def _check_entry(table: LakeTable, m: Manifest, e: dict, deep: bool, report: dict, seen: "dict[str, bool]") -> None:
+def _deep_check_file(abspath: str, tag: str, e: dict) -> tuple[int, int, list]:
+    """Footer/bloom checks for ONE live data file of the latest
+    snapshot: footer row count vs manifest ``rows``, footer key-hash
+    min/max vs manifest stats, inline Bloom decodes to its declared
+    size and accepts the file's min/max key hashes (both provably
+    members — a rejection would be a silent lookup false negative).
+    Pure function of (path, manifest entry) so the distributed deep
+    scan can ship it to executors; returns
+    ``(footers_checked, blooms_checked, [(code, detail), ...])``."""
+    import pyarrow.parquet as pq
+
+    errors: list[tuple[str, str]] = []
+    try:
+        md = pq.ParquetFile(abspath).metadata
+    except Exception as ex:  # corrupt footer
+        return 0, 0, [("footer-unreadable", f"{tag}: {ex}")]
+    if md.num_rows != e["rows"]:
+        errors.append(("rows-mismatch", f"{tag}: footer={md.num_rows} manifest={e['rows']}"))
+    kmin = kmax = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != KHASH_COL:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            kmin = st.min if kmin is None else min(kmin, st.min)
+            kmax = st.max if kmax is None else max(kmax, st.max)
+    if kmin is not None and (e.get("khash_min"), e.get("khash_max")) != (kmin, kmax):
+        errors.append(
+            (
+                "khash-stats-mismatch",
+                f"{tag}: footer [{kmin},{kmax}] manifest "
+                f"[{e.get('khash_min')},{e.get('khash_max')}]",
+            )
+        )
+    bloom = e.get("khash_bloom")
+    if bloom is None:
+        return 1, 0, errors
+    try:
+        buf = _bloom_buf(bloom["z"])
+    except Exception as ex:
+        errors.append(("bloom-undecodable", f"{tag}: {ex}"))
+        return 1, 0, errors
+    if len(buf) != int(bloom["m"]) >> 3:
+        errors.append(
+            (
+                "bloom-size-mismatch",
+                f"{tag}: decoded {len(buf)}B, declared m={bloom['m']} ({int(bloom['m']) >> 3}B)",
+            )
+        )
+        return 1, 1, errors
+    # min/max are actual member hashes: a Bloom that rejects either
+    # would silently drop point lookups (false negative)
+    for probe in {kmin, kmax} - {None}:
+        if not _bloom_may_contain(bloom, [probe]):
+            errors.append(
+                ("bloom-false-negative", f"{tag}: filter rejects in-file key hash {probe}")
+            )
+    return 1, 1, errors
+
+
+def _check_entry(
+    table: LakeTable,
+    m: Manifest,
+    e: dict,
+    deep: bool,
+    report: dict,
+    seen: "dict[str, bool]",
+    deep_batch: "list | None" = None,
+) -> None:
     path = e.get("path")
     tag = f"v{m.version}:{path}"
     if not isinstance(path, str) or not path:
@@ -182,59 +258,15 @@ def _check_entry(table: LakeTable, m: Manifest, e: dict, deep: bool, report: dic
         return
     # deep: parquet footer vs manifest (latest snapshot only — the one
     # readers serve from; older retained snapshots share most files)
-    import pyarrow.parquet as pq
-
-    try:
-        md = pq.ParquetFile(abspath).metadata
-    except Exception as ex:  # corrupt footer
-        _err(report, "footer-unreadable", f"{tag}: {ex}")
+    if deep_batch is not None:
+        # distributed mode: defer the footer read to the Spark scan
+        deep_batch.append((abspath, tag, e))
         return
-    report["checked"]["footers"] += 1
-    if md.num_rows != e["rows"]:
-        _err(report, "rows-mismatch", f"{tag}: footer={md.num_rows} manifest={e['rows']}")
-    kmin = kmax = None
-    for rg in range(md.num_row_groups):
-        g = md.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            if col.path_in_schema != KHASH_COL:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            kmin = st.min if kmin is None else min(kmin, st.min)
-            kmax = st.max if kmax is None else max(kmax, st.max)
-    if kmin is not None and (e.get("khash_min"), e.get("khash_max")) != (kmin, kmax):
-        _err(
-            report,
-            "khash-stats-mismatch",
-            f"{tag}: footer [{kmin},{kmax}] manifest "
-            f"[{e.get('khash_min')},{e.get('khash_max')}]",
-        )
-    bloom = e.get("khash_bloom")
-    if bloom is not None:
-        try:
-            buf = _bloom_buf(bloom["z"])
-        except Exception as ex:
-            _err(report, "bloom-undecodable", f"{tag}: {ex}")
-            return
-        report["checked"]["blooms"] += 1
-        if len(buf) != int(bloom["m"]) >> 3:
-            _err(
-                report,
-                "bloom-size-mismatch",
-                f"{tag}: decoded {len(buf)}B, declared m={bloom['m']} ({int(bloom['m']) >> 3}B)",
-            )
-            return
-        # min/max are actual member hashes: a Bloom that rejects either
-        # would silently drop point lookups (false negative)
-        for probe in {kmin, kmax} - {None}:
-            if not _bloom_may_contain(bloom, [probe]):
-                _err(
-                    report,
-                    "bloom-false-negative",
-                    f"{tag}: filter rejects in-file key hash {probe}",
-                )
+    footers, blooms, errors = _deep_check_file(abspath, tag, e)
+    report["checked"]["footers"] += footers
+    report["checked"]["blooms"] += blooms
+    for code, detail in errors:
+        _err(report, code, detail)
 
 
 def _suffix_int(name: str, prefix: str) -> int | None:
@@ -368,12 +400,63 @@ def _check_delta_log(
     report["checked"]["maint_sets"] = n_maint
 
 
+def _deep_scan_distributed(spark: Any, deep_batch: list, report: dict) -> None:
+    """Run :func:`_deep_check_file` over every (abspath, tag, entry) of
+    ``deep_batch`` as one Spark job. Entries travel as JSON strings (the
+    inline blooms are already zlib+base64 text, a few KB each); each
+    Arrow batch returns only its error tuples plus two counters, so the
+    collect is O(errors), not O(files). Error order is made
+    deterministic by sorting — partition arrival order is not."""
+    entry_keys = ("rows", "khash_min", "khash_max", "khash_bloom")
+    rows = [
+        (a, t, json.dumps({k: e.get(k) for k in entry_keys})) for a, t, e in deep_batch
+    ]
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            footers = blooms = 0
+            for a, t, ej in zip(pdf["abspath"], pdf["tag"], pdf["entry"]):
+                f, b, errors = _deep_check_file(a, t, json.loads(ej))
+                footers += f
+                blooms += b
+                recs.extend(
+                    {"code": c, "detail": d, "footers": 0, "blooms": 0} for c, d in errors
+                )
+            recs.append({"code": None, "detail": None, "footers": footers, "blooms": blooms})
+            yield pd.DataFrame(recs, columns=["code", "detail", "footers", "blooms"])
+
+    parts = max(1, min(len(rows), spark.sparkContext.defaultParallelism * 2))
+    out = (
+        spark.createDataFrame(rows, "abspath string, tag string, entry string")
+        .repartition(parts)
+        .mapInPandas(scan, "code string, detail string, footers long, blooms long")
+        .collect()
+    )
+    for r in sorted((r for r in out if r["code"] is not None), key=lambda r: (r["code"], r["detail"])):
+        _err(report, r["code"], r["detail"])
+    report["checked"]["footers"] += sum(r["footers"] for r in out)
+    report["checked"]["blooms"] += sum(r["blooms"] for r in out)
+
+
 def fsck(
-    table: LakeTable, deep: bool = False, delta_dir: str | None = None
+    table: LakeTable,
+    deep: bool = False,
+    delta_dir: str | None = None,
+    spark: Any = None,
 ) -> dict[str, Any]:
     """Audit ``table`` (and its change log when ``delta_dir`` is given);
     returns a report dict. ``ok`` is True iff no errors (warnings and
-    orphans never fail the audit)."""
+    orphans never fail the audit).
+
+    With ``deep=True`` and a ``spark`` session, the per-file footer/
+    bloom checks run as ONE Arrow-batched Spark job over the entry list
+    (``mapInPandas``) instead of sequential driver reads — the scan is
+    O(#files / cores) wall instead of O(#files), which is what makes a
+    deep audit of a 10^5-file table practical. Same checks, same codes;
+    only errors and two counters come back to the driver."""
     report: dict[str, Any] = {
         "ok": True,
         "root": table.root,
@@ -440,6 +523,7 @@ def fsck(
 
     # 3. per-snapshot file entries (existence everywhere; deep on latest)
     seen: dict[str, bool] = {}
+    deep_batch: list | None = [] if (deep and spark is not None) else None
     for v in sorted(snapshots):
         m = snapshots[v]
         if m.committed_epochs != sorted(set(m.committed_epochs)):
@@ -452,8 +536,10 @@ def fsck(
             except Exception as e:
                 _err(report, "schema-unparseable", f"v{v}: {e}")
         for e in m.files:
-            _check_entry(table, m, e, deep, report, seen)
+            _check_entry(table, m, e, deep, report, seen, deep_batch)
     report["checked"]["files"] = len(seen)
+    if deep_batch:
+        _deep_scan_distributed(spark, deep_batch, report)
 
     # 4. tags on the latest snapshot pin RETAINED versions
     if latest in snapshots:

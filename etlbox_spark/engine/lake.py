@@ -2464,15 +2464,22 @@ class LakeTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return self.manifest().schema(version)
 
-    def fsck(self, deep: bool = False, delta_dir: str | None = None) -> dict[str, Any]:
+    def fsck(
+        self,
+        deep: bool = False,
+        delta_dir: str | None = None,
+        spark: Any = None,
+    ) -> dict[str, Any]:
         """Read-only integrity audit of this table (engine/fsck.py):
         manifest chain, checkpoint agreement, file liveness, bloom
         decodability, tag pins, orphan listing — plus the change log's
         rename-protocol invariants when ``delta_dir`` is given. Returns
-        the report dict; ``report["ok"]`` is False iff errors found."""
+        the report dict; ``report["ok"]`` is False iff errors found.
+        Pass ``spark`` with ``deep=True`` to distribute the per-file
+        footer scan (one Spark job instead of O(#files) driver reads)."""
         from .fsck import fsck as _fsck
 
-        return _fsck(self, deep=deep, delta_dir=delta_dir)
+        return _fsck(self, deep=deep, delta_dir=delta_dir, spark=spark)
 
     def history(self) -> list[dict[str, Any]]:
         """Snapshot history, newest first, within the retained (not yet

@@ -70,12 +70,18 @@ def delete_where_task(spark: SparkSession, root: str, condition: str) -> dict:
     return LakeTable.load(root).delete_where(spark, condition)
 
 
-def fsck_task(root: str, deep: bool = False, delta_dir: str | None = None) -> dict:
+def fsck_task(
+    root: str,
+    deep: bool = False,
+    delta_dir: str | None = None,
+    spark: SparkSession | None = None,
+) -> dict:
     """Read-only integrity audit (engine/fsck.py): manifest chain,
     checkpoint agreement, file liveness, bloom membership (``deep``),
     tag pins, orphans, and — with ``delta_dir`` — the change log's
-    rename-protocol invariants. Returns the report dict."""
-    return LakeTable.load(root).fsck(deep=deep, delta_dir=delta_dir)
+    rename-protocol invariants. Returns the report dict. With ``spark``
+    and ``deep=True`` the footer scan runs distributed."""
+    return LakeTable.load(root).fsck(deep=deep, delta_dir=delta_dir, spark=spark)
 
 
 def create_view_task(

@@ -281,3 +281,33 @@ def test_fsck_reports_parentless_delta_record(tmp_path):
     r = t.fsck()
     assert not r["ok"]
     assert "unmaterializable" in _codes(r)
+
+
+def test_fsck_deep_distributed_matches_sequential(spark, tmp_path):
+    """deep=True with a spark session runs the footer scan as one
+    mapInPandas job — same error codes and checked-counters as the
+    sequential driver scan, on both a clean and a tampered table."""
+    t = _mk(spark, tmp_path)
+    seq = t.fsck(deep=True)
+    dist = t.fsck(deep=True, spark=spark)
+    assert dist["ok"] and seq["ok"], (seq["errors"], dist["errors"])
+    assert dist["checked"]["footers"] == seq["checked"]["footers"] > 0
+    assert dist["checked"]["blooms"] == seq["checked"]["blooms"] > 0
+
+    # tamper: bump a row count and corrupt a bloom in the latest record
+    vpath = t._vpath(t.latest_version())
+    with open(vpath, encoding="utf-8") as f:
+        rec = json.load(f)
+    entries = rec["add"] if "add" in rec else rec["files"]
+    entries[0]["rows"] += 1
+    bloomed = [e for e in entries if "khash_bloom" in e]
+    bloomed[0]["khash_bloom"]["z"] = "!!!not-base64!!!"
+    with open(vpath, "w", encoding="utf-8") as f:
+        json.dump(rec, f)
+    seq = t.fsck(deep=True)
+    dist = t.fsck(deep=True, spark=spark)
+    assert not dist["ok"]
+    assert _codes(dist) == _codes(seq)
+    assert {"rows-mismatch", "bloom-undecodable"} <= _codes(dist)
+    # the deferred scan must not have skipped the shallow checks' files
+    assert dist["checked"]["files"] == seq["checked"]["files"]

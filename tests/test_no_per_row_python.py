@@ -38,10 +38,12 @@ def test_collect_only_in_sanctioned_places():
     the nominated candidate CORPUS IDS to drive the pruned lookup_keys
     point read — HARD-capped at nomination_limit via limit(n+1) (r05):
     past the cap the fetch switches to a distributed semi-join, so the
-    collect is never O(corpus) even for an adversarial batch."""
+    collect is never O(corpus) even for an adversarial batch. fsck.py:
+    the distributed deep scan collects only error tuples + one counter
+    row per partition — O(corruption findings), never O(files)."""
     allowed = {
         "merge.py", "similarity.py", "joins.py", "lake.py", "__init__.py",
-        "textdedup.py",
+        "textdedup.py", "fsck.py",
     }
     offenders = []
     for py in PKG.rglob("*.py"):

@@ -32,8 +32,21 @@ def main() -> int:
         help="change-log directory to audit against the lake's commit "
         "state (epoch-dir/marker agreement, maintenance sets)",
     )
+    ap.add_argument(
+        "--spark",
+        action="store_true",
+        help="with --deep: distribute the footer scan as one Spark job "
+        "(local[*]) instead of sequential driver reads",
+    )
     args = ap.parse_args()
-    report = LakeTable.load(args.root).fsck(deep=args.deep, delta_dir=args.delta_dir)
+    spark = None
+    if args.spark and args.deep:
+        from etlbox_spark.session import get_spark
+
+        spark = get_spark(master="local[*]")
+    report = LakeTable.load(args.root).fsck(
+        deep=args.deep, delta_dir=args.delta_dir, spark=spark
+    )
     print(json.dumps(report, indent=1, sort_keys=True))
     return 0 if report["ok"] else 1
 
