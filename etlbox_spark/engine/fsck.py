@@ -118,7 +118,9 @@ def _records_only_state(table: LakeTable, v: int, report: dict) -> Manifest | No
             rec = table._load_record(cur)
         except FileNotFoundError:
             return None  # compacted away — no independent replay possible
-        except (json.JSONDecodeError, OSError) as e:
+        except (json.JSONDecodeError, ValueError, OSError) as e:
+            # ValueError covers UnicodeDecodeError: a byte-flipped record
+            # is not valid UTF-8 before it is not valid JSON
             _err(report, "record-unreadable", f"v{cur}.json: {e}")
             return None
         if not _is_delta_record(rec):
@@ -290,7 +292,7 @@ def _check_delta_log(
             if table._load_record(v).get("operation") == "rollback":
                 rollback_possible = True
                 break
-        except (OSError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             rollback_possible = True  # unreadable record — can't prove
     now = time.time()
 
@@ -388,8 +390,10 @@ def _check_delta_log(
             if v in versions:
                 try:
                     rec = table._load_record(v)
-                except (OSError, json.JSONDecodeError):
+                except (OSError, json.JSONDecodeError, ValueError):
                     continue  # unreadable record reported by the chain pass
+                if not isinstance(rec, dict):
+                    continue  # non-object record reported by the chain pass
                 if not rec.get("change_token"):
                     _err(
                         report,
@@ -491,7 +495,15 @@ def fsck(
         try:
             snapshots[v] = table.manifest(v)
             report["checked"]["versions"] += 1
-        except (FileNotFoundError, RuntimeError, json.JSONDecodeError, KeyError, OSError) as e:
+        except (
+            FileNotFoundError,
+            RuntimeError,
+            json.JSONDecodeError,
+            KeyError,
+            TypeError,
+            ValueError,  # incl. UnicodeDecodeError from byte-flipped records
+            OSError,
+        ) as e:
             _err(report, "unmaterializable", f"v{v}: {type(e).__name__}: {e}")
 
     # 2. checkpoint sidecars agree with a records-only replay

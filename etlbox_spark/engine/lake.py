@@ -323,7 +323,10 @@ def _cache_put(key: tuple, m: Manifest) -> None:
 
 
 def _is_delta_record(d: dict[str, Any]) -> bool:
-    return d.get("record") == "delta"
+    # tolerate a corrupt record that parses to a non-object: it is "not
+    # a delta record", so the caller's full-record parse raises the
+    # loud, containable TypeError instead of an AttributeError here
+    return isinstance(d, dict) and d.get("record") == "delta"
 
 
 def _epoch_runs(eps: "list[int]") -> "list[list[int]]":
@@ -364,6 +367,10 @@ def _manifest_from_dict(d: dict[str, Any]) -> Manifest:
     """Parse a full-state record/checkpoint, ignoring annotation keys
     (e.g. ``change_token`` on an emitting rollback) — full records may
     carry commit metadata beyond the state fields."""
+    if not isinstance(d, dict):
+        # corrupt record that parsed to a JSON non-object: raise the
+        # loud error type every caller (engine + fsck) already contains
+        raise TypeError(f"manifest record is not a JSON object: {type(d).__name__}")
     kw = {k: v for k, v in d.items() if k in _MANIFEST_FIELD_NAMES}
     kw["committed_epochs"] = _epochs_flat(kw.get("committed_epochs", []))
     return Manifest(**kw)

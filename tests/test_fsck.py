@@ -311,3 +311,29 @@ def test_fsck_deep_distributed_matches_sequential(spark, tmp_path):
     assert {"rows-mismatch", "bloom-undecodable"} <= _codes(dist)
     # the deferred scan must not have skipped the shallow checks' files
     assert dist["checked"]["files"] == seq["checked"]["files"]
+
+
+def test_fsck_contains_non_utf8_and_non_object_records(spark, tmp_path):
+    """A byte-flipped record (invalid UTF-8 — UnicodeDecodeError, a
+    ValueError the original catch lists missed; found by the corruption
+    fuzzer) and a record that parses to a JSON non-object must both be
+    CONTAINED as audit errors, from every walk that loads records
+    (materializer, records-only replay, delta-log rollback probe)."""
+    t = _mk(spark, tmp_path, delta_dir=str(tmp_path / "log"))
+    v = t.latest_version()
+    vpath = t._vpath(v)
+    with open(vpath, "rb") as f:
+        raw = bytearray(f.read())
+    raw[140] ^= 0xC5  # guaranteed mid-JSON, breaks UTF-8 continuation
+    with open(vpath, "wb") as f:
+        f.write(bytes(raw))
+    r = t.fsck(deep=True, delta_dir=str(tmp_path / "log"))
+    assert not r["ok"]
+    assert "unmaterializable" in _codes(r)
+
+    # non-object record: valid JSON, wrong shape
+    with open(t._vpath(v - 1), "w", encoding="utf-8") as f:
+        f.write("[1, 2, 3]")
+    r = t.fsck(deep=True, delta_dir=str(tmp_path / "log"))
+    assert not r["ok"]
+    assert "unmaterializable" in _codes(r)
