@@ -46,6 +46,14 @@ half of the exactly-once story (engine/merge.py's rename protocol):
   actually declared a change emission (``change_token``) — a visible
   set without either is an ERROR (the heal protocol's proof broken).
 
+Live tables: fsck is read-only and safe to run against a table with
+active writers (the multi-writer soak races it against ingest,
+compaction, emitting deletes and tag/vacuum churn), but a point-in-time
+report taken mid-churn can carry TRANSIENT errors — a vacuum may expire
+a version between fsck's listing and its walk, a change-log rename may
+race the snapshot read. Authoritative verdicts need a quiesced table;
+mid-flight runs certify only "never raises, never perturbs".
+
 Cost model (100 TB honesty): the default pass is pure metadata —
 O(retained versions) record parses + one ``stat`` per live file.
 ``deep=True`` opens one parquet FOOTER per live file of the latest
@@ -298,9 +306,11 @@ def _check_delta_log(
 
     def _sweep(root: str, kind: str) -> list[int]:
         eps: list[int] = []
-        if not os.path.isdir(root):
+        try:
+            names = os.listdir(root)
+        except OSError:  # absent, or removed between check and listing
             return eps
-        for fn in os.listdir(root):
+        for fn in names:
             p = os.path.join(root, fn)
             if fn.startswith("epoch="):
                 n = _suffix_int(fn, "epoch=")
@@ -361,8 +371,12 @@ def _check_delta_log(
 
     mroot = os.path.join(delta_dir, "_maint")
     n_maint = 0
-    if os.path.isdir(mroot):
-        for fn in os.listdir(mroot):
+    try:
+        maint_names = os.listdir(mroot)
+    except OSError:  # absent, or removed between check and listing
+        maint_names = []
+    if maint_names:
+        for fn in maint_names:
             if fn.startswith("_"):
                 try:
                     age = now - os.path.getmtime(os.path.join(mroot, fn))

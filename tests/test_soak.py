@@ -170,8 +170,32 @@ def test_multi_writer_soak(spark, tmp_path):
             i += 1
             time.sleep(jit[(i * 7) % len(jit)])
 
+    audit_reports: list[dict] = []
+
+    def auditor():
+        # read-only fsck racing every writer: on a LIVE table transient
+        # error reports are legal (a vacuum can expire a version between
+        # fsck's listing and its walk; a log rename can race the
+        # snapshot read) — the certification is that the audit NEVER
+        # raises, never hangs, and never perturbs the writers
+        i = 0
+        while not done.is_set():
+            try:
+                r = t.fsck(
+                    deep=(i % 3 == 0),
+                    delta_dir=delta_dir if i % 2 else None,
+                )
+                assert isinstance(r, dict) and "ok" in r and "errors" in r
+                audit_reports.append(r)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            i += 1
+            time.sleep(jit[(i * 5) % len(jit)])
+
     threads = [
-        threading.Thread(target=f) for f in (ingest, compactor, deleter, tagger)
+        threading.Thread(target=f)
+        for f in (ingest, compactor, deleter, tagger, auditor)
     ]
     for th in threads:
         th.start()
@@ -179,6 +203,7 @@ def test_multi_writer_soak(spark, tmp_path):
         th.join(timeout=600)
     assert not errors, errors
     assert deleted_ok.is_set()
+    assert audit_reports, "the auditor never completed a single pass"
 
     # the namespace may have been erased BEFORE epoch 0's replay... no:
     # one ingest writer applies epochs in order and the deleter waits for
