@@ -47,6 +47,21 @@ _NS_REL_PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
 _M = f"{{{_NS_MAIN}}}"
 
 
+class XlsxFormatError(ValueError):
+    """Raised when bytes are not a decodable XLSX workbook (corrupt
+    zip, missing/unparseable parts, dangling references). One typed
+    error for every hostile-input failure shape the stdlib zoo raises
+    (BadZipFile, zlib.error, ParseError, KeyError, IndexError,
+    struct.error, ...), so callers can route bad FILES the way the
+    dataflow layer routes bad rows."""
+
+
+class _NoSuchSheet(ValueError):
+    """Caller asked for a sheet name the (valid) workbook doesn't have —
+    a plain ValueError to the caller, exempt from XlsxFormatError
+    conversion and from ``on_malformed`` routing."""
+
+
 def _col_index(cell_ref: str) -> int:
     """'BC12' -> 0-based column index 54."""
     n = 0
@@ -93,7 +108,23 @@ def xlsx_bytes_to_rows(
     width). ``typed=True`` surfaces native cell types (numeric cells as
     int/float, boolean cells as bool) instead of their wire text — used
     by ``read_excel(infer_types=True)``'s schema sniff.
+
+    Hostile/corrupt input raises :class:`XlsxFormatError` (a
+    ValueError), never a raw stdlib internal (corruption-fuzzed in
+    tests/test_xlsx.py). A missing named sheet stays a plain
+    ValueError — that is a caller error, not a format error.
     """
+    try:
+        return _decode_workbook(data, sheet, typed)
+    except (XlsxFormatError, _NoSuchSheet):
+        raise  # already typed (_NoSuchSheet is a plain-ValueError caller error)
+    except Exception as e:  # noqa: BLE001 — convert the stdlib zoo, don't swallow
+        raise XlsxFormatError(
+            f"not a decodable XLSX workbook: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_workbook(data: bytes, sheet: int | str, typed: bool) -> list[list]:
     zf = zipfile.ZipFile(io.BytesIO(data))
 
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
@@ -101,18 +132,30 @@ def xlsx_bytes_to_rows(
     if isinstance(sheet, str):
         matches = [s for s in sheets if s.get("name") == sheet]
         if not matches:
-            raise ValueError(f"no sheet named {sheet!r}; have {[s.get('name') for s in sheets]}")
+            raise _NoSuchSheet(
+                f"no sheet named {sheet!r}; have {[s.get('name') for s in sheets]}"
+            )
         sel = matches[0]
     else:
-        sel = sheets[sheet]
+        try:
+            sel = sheets[sheet]
+        except IndexError:
+            raise XlsxFormatError(
+                f"workbook declares {len(sheets)} sheet(s); index {sheet} out of range"
+            ) from None
     rid = sel.get(f"{{{_NS_REL_DOC}}}id")
 
     rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
     target = next(
-        r.get("Target")
-        for r in rels.findall(f"{{{_NS_REL_PKG}}}Relationship")
-        if r.get("Id") == rid
+        (
+            r.get("Target")
+            for r in rels.findall(f"{{{_NS_REL_PKG}}}Relationship")
+            if r.get("Id") == rid
+        ),
+        None,
     )
+    if target is None:
+        raise XlsxFormatError(f"workbook.xml.rels has no relationship {rid!r} for the sheet")
     # OPC relationship targets: absolute ("/xl/worksheets/s1.xml" or even
     # "/worksheets/s1.xml") are package-rooted; relative ones resolve
     # against the source part's directory (xl/). Normalize explicitly —
@@ -304,6 +347,7 @@ def read_excel(
     header: bool = True,
     columns: list[str] | None = None,
     infer_types: bool = False,
+    on_malformed: str = "fail",
 ) -> DataFrame:
     """ExcelSource analog: dir/glob of .xlsx → DataFrame.
 
@@ -316,7 +360,14 @@ def read_excel(
     from the first file's native cell types (numeric/boolean cells →
     long/double/boolean) so typed workbooks round-trip without caller
     casts; default stays the wire-faithful all-string surface.
+
+    ``on_malformed`` routes CORRUPT WORKBOOKS (XlsxFormatError — bad
+    zip, unparseable parts): ``"fail"`` (default) aborts naming the
+    file; ``"skip"`` drops the file and keeps the scan going — the
+    file-level analog of the merge core's dead-letter ``on_malformed``.
     """
+    if on_malformed not in ("fail", "skip"):
+        raise ValueError(f"on_malformed must be 'fail' or 'skip', got {on_malformed!r}")
     if schema is not None:
         names = [f.name for f in schema.fields]
     elif columns is not None:
@@ -335,8 +386,13 @@ def read_excel(
         import pandas as pd
 
         for pdf in batches:
-            for content in pdf["content"]:
-                rows = xlsx_bytes_to_rows(bytes(content), sheet)
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows = xlsx_bytes_to_rows(bytes(content), sheet)
+                except XlsxFormatError as e:
+                    if on_malformed == "skip":
+                        continue
+                    raise XlsxFormatError(f"{fpath}: {e}") from e
                 if header and rows:
                     rows = rows[1:]
                 cols = {
@@ -345,7 +401,7 @@ def read_excel(
                 }
                 yield pd.DataFrame(cols, columns=names, dtype=object)
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
     df = files.mapInPandas(decode, schema=out_schema)
     if schema is not None:
         df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

@@ -185,3 +185,132 @@ def test_spark_header_peek_and_string_surface(spark, tmp_path):
         [T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]
     )
     assert sorted((r["k"], r["v"]) for r in got.collect()) == [("a", "1"), ("b", "2")]
+
+
+# ---- hostile-input containment (corruption fuzz) ----------------------
+
+
+def test_codec_corruption_always_raises_typed_error():
+    """ANY byte-level damage to a workbook must surface as
+    XlsxFormatError (a ValueError) or decode to rows — never a raw
+    stdlib internal (BadZipFile, ParseError, struct.error, KeyError,
+    IndexError...) and never a hang. Deterministic sweep: truncations
+    at every 37th byte, single-byte flips at every 23rd byte, plus the
+    classic structural mutations."""
+    import io
+
+    from etlbox_spark.sources.xlsx import XlsxFormatError
+
+    good = rows_to_xlsx_bytes(ROWS)
+    assert xlsx_bytes_to_rows(good)  # sanity
+
+    cases = [good[:i] for i in range(0, len(good), 37)]
+    for off in range(0, len(good), 23):
+        b = bytearray(good)
+        b[off] ^= 0xA7
+        cases.append(bytes(b))
+    cases += [b"", b"PK", b"not a zip at all", b"\x00" * 512]
+
+    decoded = raised = 0
+    for data in cases:
+        try:
+            out = xlsx_bytes_to_rows(data)
+            assert isinstance(out, list)
+            decoded += 1
+        except XlsxFormatError:
+            raised += 1
+    # both outcomes must occur (flips in dead zones decode fine; the
+    # sweep is vacuous if either bucket is empty)
+    assert decoded > 0 and raised > 0
+
+
+def _zip_without(data: bytes, member: str) -> bytes:
+    import io
+
+    src = zipfile.ZipFile(io.BytesIO(data))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in src.namelist():
+            if n != member:
+                out.writestr(n, src.read(n))
+    return buf.getvalue()
+
+
+def _zip_replace(data: bytes, member: str, content: str) -> bytes:
+    import io
+
+    src = zipfile.ZipFile(io.BytesIO(data))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in src.namelist():
+            out.writestr(n, content if n == member else src.read(n))
+    return buf.getvalue()
+
+
+def test_codec_structural_corruptions_are_typed():
+    """Missing parts, dangling rel ids, out-of-range shared-string and
+    sheet indexes — each a distinct hostile shape, each contained."""
+    from etlbox_spark.sources.xlsx import XlsxFormatError
+
+    good = rows_to_xlsx_bytes(ROWS)
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    hostile = [
+        _zip_without(good, "xl/workbook.xml"),
+        _zip_without(good, "xl/worksheets/sheet1.xml"),
+        _zip_replace(good, "xl/workbook.xml", "<not-closed"),
+        _zip_replace(good, "xl/_rels/workbook.xml.rels", "<bad"),
+        # dangling relationship id
+        _zip_replace(
+            good,
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships"/>',
+        ),
+        # shared-string index out of range / non-numeric
+        _zip_replace(
+            good,
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{M}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>99999</v></c></row>'
+            "</sheetData></worksheet>",
+        ),
+        _zip_replace(
+            good,
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{M}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>abc</v></c></row>'
+            "</sheetData></worksheet>",
+        ),
+    ]
+    for i, data in enumerate(hostile):
+        with pytest.raises(XlsxFormatError):
+            xlsx_bytes_to_rows(data)
+    # sheet index out of range is format-class too
+    with pytest.raises(XlsxFormatError):
+        xlsx_bytes_to_rows(good, sheet=7)
+    # ...but a missing NAMED sheet stays a plain caller ValueError
+    with pytest.raises(ValueError) as ei:
+        xlsx_bytes_to_rows(good, sheet="nope")
+    assert not isinstance(ei.value, XlsxFormatError)
+
+
+def test_read_excel_on_malformed_routing(spark, tmp_path):
+    """A corrupt workbook inside a directory scan: fail (default)
+    aborts naming the file; skip drops the file and keeps the rest."""
+    from etlbox_spark.sources.xlsx import XlsxFormatError
+
+    d = tmp_path / "wb"
+    d.mkdir()
+    (d / "good.xlsx").write_bytes(rows_to_xlsx_bytes(ROWS))
+    (d / "bad.xlsx").write_bytes(b"PK\x03\x04 this is not a workbook")
+
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in ROWS[0]])
+    with pytest.raises(Exception) as ei:
+        read_excel(spark, str(d), schema=schema).collect()
+    assert "bad.xlsx" in str(ei.value)
+
+    got = read_excel(spark, str(d), schema=schema, on_malformed="skip").collect()
+    assert sorted(r["id"] for r in got) == ["1", "2", "3", "4"]
+
+    with pytest.raises(ValueError):
+        read_excel(spark, str(d), schema=schema, on_malformed="quarantine")
