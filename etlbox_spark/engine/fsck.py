@@ -186,23 +186,27 @@ def _deep_check_file(abspath: str, tag: str, e: dict) -> tuple[int, int, list]:
 
     errors: list[tuple[str, str]] = []
     try:
+        # the WHOLE interrogation is fallible: a flipped footer can open
+        # fine and then raise from any lazy accessor (e.g. a non-UTF-8
+        # column name breaking path_in_schema — found by the fuzzer)
         md = pq.ParquetFile(abspath).metadata
+        num_rows = md.num_rows
+        kmin = kmax = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != KHASH_COL:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                kmin = st.min if kmin is None else min(kmin, st.min)
+                kmax = st.max if kmax is None else max(kmax, st.max)
     except Exception as ex:  # corrupt footer
-        return 0, 0, [("footer-unreadable", f"{tag}: {ex}")]
-    if md.num_rows != e["rows"]:
-        errors.append(("rows-mismatch", f"{tag}: footer={md.num_rows} manifest={e['rows']}"))
-    kmin = kmax = None
-    for rg in range(md.num_row_groups):
-        g = md.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            if col.path_in_schema != KHASH_COL:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            kmin = st.min if kmin is None else min(kmin, st.min)
-            kmax = st.max if kmax is None else max(kmax, st.max)
+        return 0, 0, [("footer-unreadable", f"{tag}: {type(ex).__name__}: {ex}")]
+    if num_rows != e["rows"]:
+        errors.append(("rows-mismatch", f"{tag}: footer={num_rows} manifest={e['rows']}"))
     if kmin is not None and (e.get("khash_min"), e.get("khash_max")) != (kmin, kmax):
         errors.append(
             (
@@ -217,23 +221,29 @@ def _deep_check_file(abspath: str, tag: str, e: dict) -> tuple[int, int, list]:
     try:
         buf = _bloom_buf(bloom["z"])
     except Exception as ex:
-        errors.append(("bloom-undecodable", f"{tag}: {ex}"))
+        errors.append(("bloom-undecodable", f"{tag}: {type(ex).__name__}: {ex}"))
         return 1, 0, errors
-    if len(buf) != int(bloom["m"]) >> 3:
-        errors.append(
-            (
-                "bloom-size-mismatch",
-                f"{tag}: decoded {len(buf)}B, declared m={bloom['m']} ({int(bloom['m']) >> 3}B)",
-            )
-        )
-        return 1, 1, errors
-    # min/max are actual member hashes: a Bloom that rejects either
-    # would silently drop point lookups (false negative)
-    for probe in {kmin, kmax} - {None}:
-        if not _bloom_may_contain(bloom, [probe]):
+    try:
+        # tampered entries can defeat any of these (m a string, k
+        # missing, ...) — the whole probe is one fallible unit
+        if len(buf) != int(bloom["m"]) >> 3:
             errors.append(
-                ("bloom-false-negative", f"{tag}: filter rejects in-file key hash {probe}")
+                (
+                    "bloom-size-mismatch",
+                    f"{tag}: decoded {len(buf)}B, declared m={bloom['m']} "
+                    f"({int(bloom['m']) >> 3}B)",
+                )
             )
+            return 1, 1, errors
+        # min/max are actual member hashes: a Bloom that rejects either
+        # would silently drop point lookups (false negative)
+        for probe in {kmin, kmax} - {None}:
+            if not _bloom_may_contain(bloom, [probe]):
+                errors.append(
+                    ("bloom-false-negative", f"{tag}: filter rejects in-file key hash {probe}")
+                )
+    except Exception as ex:
+        errors.append(("bloom-undecodable", f"{tag}: {type(ex).__name__}: {ex}"))
     return 1, 1, errors
 
 
@@ -246,6 +256,12 @@ def _check_entry(
     seen: "dict[str, bool]",
     deep_batch: "list | None" = None,
 ) -> None:
+    if not isinstance(e, dict):
+        # tampered state can materialize with non-object entries (e.g. a
+        # checkpoint whose "files" is a list of strings) — report, don't
+        # crash on e.get
+        _err(report, "entry-malformed", f"v{m.version}: non-object file entry: {e!r:.80}")
+        return
     path = e.get("path")
     tag = f"v{m.version}:{path}"
     if not isinstance(path, str) or not path:
@@ -514,6 +530,7 @@ def fsck(
             RuntimeError,
             json.JSONDecodeError,
             KeyError,
+            IndexError,
             TypeError,
             ValueError,  # incl. UnicodeDecodeError from byte-flipped records
             OSError,
@@ -540,20 +557,34 @@ def fsck(
             _err(report, "checkpoint-version-mismatch", f"{fn} declares version {ck.version}")
             continue
         replay = _records_only_state(table, cv, report) if cv in snapshots else None
-        if replay is not None and _manifest_key(replay) != _manifest_key(ck):
-            _err(
-                report,
-                "checkpoint-divergent",
-                f"{fn} state differs from the records-only replay of v{cv}",
-            )
+        if replay is not None:
+            try:
+                divergent = _manifest_key(replay) != _manifest_key(ck)
+            except Exception as e:  # noqa: BLE001 — tampered shapes break sort/items
+                _err(
+                    report,
+                    "checkpoint-uncomparable",
+                    f"{fn}: state shape defeats comparison: {type(e).__name__}: {e}",
+                )
+                continue
+            if divergent:
+                _err(
+                    report,
+                    "checkpoint-divergent",
+                    f"{fn} state differs from the records-only replay of v{cv}",
+                )
 
     # 3. per-snapshot file entries (existence everywhere; deep on latest)
     seen: dict[str, bool] = {}
     deep_batch: list | None = [] if (deep and spark is not None) else None
     for v in sorted(snapshots):
         m = snapshots[v]
-        if m.committed_epochs != sorted(set(m.committed_epochs)):
-            _err(report, "epochs-not-monotone", f"v{v}: committed_epochs {m.committed_epochs}")
+        try:
+            monotone = m.committed_epochs == sorted(set(m.committed_epochs))
+        except TypeError:  # mixed-type epochs in tampered state
+            monotone = False
+        if not monotone:
+            _err(report, "epochs-not-monotone", f"v{v}: committed_epochs {m.committed_epochs!r:.120}")
         if str(m.current_schema_version) not in m.schemas:
             _err(report, "current-schema-missing", f"v{v}: schema {m.current_schema_version} absent")
         else:
@@ -561,16 +592,26 @@ def fsck(
                 T.StructType.fromJson(m.schemas[str(m.current_schema_version)])
             except Exception as e:
                 _err(report, "schema-unparseable", f"v{v}: {e}")
-        for e in m.files:
-            _check_entry(table, m, e, deep, report, seen, deep_batch)
+        if isinstance(m.files, (list, tuple)):
+            for e in m.files:
+                _check_entry(table, m, e, deep, report, seen, deep_batch)
+        else:
+            _err(report, "entry-malformed", f"v{v}: files is not a list: {type(m.files).__name__}")
     report["checked"]["files"] = len(seen)
     if deep_batch:
         _deep_scan_distributed(spark, deep_batch, report)
 
     # 4. tags on the latest snapshot pin RETAINED versions
-    if latest in snapshots:
+    if latest in snapshots and not isinstance(snapshots[latest].properties, dict):
+        _err(
+            report,
+            "properties-malformed",
+            f"v{latest}: properties is not an object: "
+            f"{type(snapshots[latest].properties).__name__}",
+        )
+    elif latest in snapshots:
         for k, tv in snapshots[latest].properties.items():
-            if not k.startswith("tag."):
+            if not isinstance(k, str) or not k.startswith("tag."):
                 continue
             try:
                 tvi = int(tv)
@@ -597,7 +638,13 @@ def fsck(
                 _warn(report, "stale-marker", f"{fn} is {age / 3600.0:.1f}h old (crashed writer?)")
 
     # 6. orphan data files (referenced by NO retained snapshot)
-    live = {os.path.normpath(e["path"]) for m in snapshots.values() for e in m.files if e.get("path")}
+    live = {
+        os.path.normpath(e["path"])
+        for m in snapshots.values()
+        if isinstance(m.files, (list, tuple))
+        for e in m.files
+        if isinstance(e, dict) and isinstance(e.get("path"), str) and e["path"]
+    }
     data_dir = table._data_dir
     try:
         newest_rec_mtime = os.path.getmtime(table._vpath(latest))

@@ -346,16 +346,37 @@ def _epoch_runs(eps: "list[int]") -> "list[list[int]]":
     return runs
 
 
+_MAX_EPOCHS_FLAT = 50_000_000  # far above any real history; see below
+
+
 def _epochs_flat(v: "list") -> "list[int]":
     """Parse either wire shape back to the in-memory flat sorted list:
     ``[lo, hi]`` runs (current) or flat ints (pre-r05 records remain
-    readable — format compatibility, not a migration)."""
+    readable — format compatibility, not a migration). Malformed runs
+    raise ValueError LOUDLY: a tampered record like ``[[0, 10**15]]``
+    must fail the parse, not OOM the driver materializing the range."""
     out: "list[int]" = []
+    total = 0
     for item in v:
         if isinstance(item, list):
-            out.extend(range(int(item[0]), int(item[1]) + 1))
+            if len(item) != 2:
+                raise ValueError(f"malformed epoch run {item!r:.80}")
+            lo, hi = int(item[0]), int(item[1])
+            if hi < lo:
+                raise ValueError(f"malformed epoch run [{lo}, {hi}] (hi < lo)")
+            total += hi - lo + 1
+            if total > _MAX_EPOCHS_FLAT:
+                raise ValueError(
+                    f"epoch history implausibly large (> {_MAX_EPOCHS_FLAT}) — corrupt run bounds?"
+                )
+            out.extend(range(lo, hi + 1))
         else:
             out.append(int(item))
+            total += 1
+            if total > _MAX_EPOCHS_FLAT:
+                raise ValueError(
+                    f"epoch history implausibly large (> {_MAX_EPOCHS_FLAT}) — corrupt record?"
+                )
     out.sort()
     return out
 

@@ -72,7 +72,9 @@ def _targets(root: str) -> list:
 
 # (mutation kind, position fraction) — applied to a target picked by index
 _corruption = st.tuples(
-    st.sampled_from(["delete", "truncate", "flip", "garbage", "jsonlist", "rename"]),
+    st.sampled_from(
+        ["delete", "truncate", "flip", "garbage", "jsonlist", "rename", "mangle"]
+    ),
     st.integers(min_value=0, max_value=10_000),  # target index (mod #files)
     st.floats(min_value=0.0, max_value=1.0),     # offset/length fraction
 )
@@ -102,6 +104,32 @@ def _apply(kind: str, path: str, frac: float) -> None:
         # contained as TypeError, not AttributeError (_manifest_from_dict)
         with open(path, "w", encoding="utf-8") as f:
             f.write("[1, 2, 3]")
+    elif kind == "mangle":
+        # structured tamper: keep valid JSON, type-mangle one field —
+        # the class byte-flips can't reach (files→strings, properties→
+        # list, epochs→mixed types / absurd runs, version→string)
+        if not path.endswith(".json"):
+            return
+        try:
+            with open(path, encoding="utf-8") as f:
+                doc = json.load(f)
+        except (json.JSONDecodeError, UnicodeDecodeError, OSError):
+            return
+        if not isinstance(doc, dict) or not doc:
+            return
+        keys = sorted(doc)
+        k = keys[int(frac * 1000) % len(keys)]
+        mangles = [
+            "not-an-object",
+            ["x"],
+            {"a": 1},
+            [[0, 10**15]],
+            [1, "two", None],
+            -1,
+        ]
+        doc[k] = mangles[int(frac * 7919) % len(mangles)]
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(doc, f)
     elif kind == "rename":
         os.replace(path, path + ".fuzzed")
 
