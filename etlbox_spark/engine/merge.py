@@ -30,6 +30,7 @@ Scale design (the part that must survive 10^10 events / 100 TB tables):
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -150,6 +151,100 @@ def _merge_change_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
     return T.StructType(out)
 
 
+# Spark stamps the exact logical schema of every DataFrame it writes into
+# the parquet footer under this key — and reads it back preferentially
+# during its own schema inference, so the footer value IS the schema a
+# spark.read probe of the same dir would return.
+_SPARK_SCHEMA_KEY = b"org.apache.spark.sql.parquet.row.metadata"
+# above this many dirs the footer probe fans out as one Spark job
+_PROBE_DISTRIBUTE_THRESHOLD = 2048
+
+
+def _dir_schema_json(d: str) -> str | None:
+    """Spark schema of one committed change dir, read from a single
+    parquet footer's Spark metadata key (~1 ms, no Spark job). Every file
+    in a dir came from one write job, so any one footer speaks for all.
+    Returns None when the dir has no parquet files or the key is absent
+    or unreadable (non-Spark writer, corrupt footer) — callers fall back
+    to a real ``spark.read`` probe for that dir."""
+    try:
+        names = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
+        if not names:
+            return None
+        meta = pq.read_schema(os.path.join(d, names[0])).metadata or {}
+        raw = meta.get(_SPARK_SCHEMA_KEY)
+        return raw.decode("utf-8") if raw is not None else None
+    except Exception:  # noqa: BLE001 — any footer failure routes to the fallback probe
+        return None
+
+
+def _as_nullable(dt: T.DataType) -> T.DataType:
+    """File-source reads surface every field as nullable regardless of
+    the written schema; the footer metadata preserves the writer's
+    nullability — normalize so the probe returns exactly what the legacy
+    ``spark.read`` probe returned (and so grouping never splits on a
+    nullability-only difference)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _as_nullable(f.dataType), True, f.metadata) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
+def _probe_dirs_distributed(spark: SparkSession, dirs: list) -> list:
+    """Footer-probe ``dirs`` as ONE Arrow-batched Spark job (the fsck
+    deep-scan shape): only (index, schema-json) strings come back, so the
+    collect is O(#dirs) small strings, the wall O(#dirs / cores)."""
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"i": pdf["i"], "sj": [_dir_schema_json(d) for d in pdf["d"]]}
+            )
+
+    parts = max(1, min(len(dirs), spark.sparkContext.defaultParallelism * 2))
+    rows = (
+        spark.createDataFrame(list(enumerate(dirs)), "i long, d string")
+        .repartition(parts)
+        .mapInPandas(probe, "i long, sj string")
+        .collect()
+    )
+    res: list = [None] * len(dirs)
+    for r in rows:
+        res[r["i"]] = r["sj"]
+    return res
+
+
+def _probe_dir_schemas(spark: SparkSession, dirs: list) -> list:
+    """One Spark ``StructType`` per change dir, WITHOUT one Spark
+    schema-inference job per dir (that probe is ~50-100 ms of driver wall
+    each — a full-history replay of a 10^5-epoch log would spend hours on
+    planning before reading a row). The footer metadata key supplies the
+    identical schema at ~1 ms per dir driver-side; past
+    ``_PROBE_DISTRIBUTE_THRESHOLD`` dirs the probe runs as one Spark job.
+    Dirs without the key (non-Spark writers) fall back to the real
+    ``spark.read`` probe, preserving exact legacy behavior."""
+    if len(dirs) >= _PROBE_DISTRIBUTE_THRESHOLD:
+        jsons = _probe_dirs_distributed(spark, dirs)
+    else:
+        jsons = [_dir_schema_json(d) for d in dirs]
+    out = []
+    for d, sj in zip(dirs, jsons):
+        if sj is not None:
+            try:
+                out.append(_as_nullable(T.StructType.fromJson(json.loads(sj))))
+                continue
+            except (ValueError, KeyError, TypeError):
+                pass  # malformed metadata — treat as a non-Spark writer
+        out.append(spark.read.parquet(d).schema)
+    return out
+
+
 def read_changes(
     spark: SparkSession,
     delta_dir: str,
@@ -175,10 +270,13 @@ def read_changes(
     Schema evolution: epochs before a column-add lack the new columns,
     and a widen changes parquet physical types mid-stream — Spark's
     ``mergeSchema`` refuses to reconcile int→long, so epochs are grouped
-    into schema generations (one footer probe per epoch, bounded driver
-    metadata) and each generation is aligned to the folded
+    into schema generations and each generation is aligned to the folded
     add-and-widen schema via ``align_to_schema`` (typed nulls for
-    missing columns, upcasts for widened ones) before the union.
+    missing columns, upcasts for widened ones) before the union. The
+    per-epoch schema comes from the parquet footer's Spark metadata key
+    (~1 ms driver-side, no Spark job — see ``_probe_dir_schemas``), and
+    past ~2k epochs the probe itself runs as one distributed job, so
+    even a full-history replay of a 10^5-epoch log plans in seconds.
 
     A caught-up consumer is the steady state, not an error: when the log
     HAS committed epochs but none fall in the requested range (e.g.
@@ -200,13 +298,15 @@ def read_changes(
     if to_epoch is not None:
         eps = [e for e in eps if e <= int(to_epoch)]
     if not eps:
-        sch = spark.read.parquet(os.path.join(delta_dir, f"epoch={all_eps[-1]}")).schema
+        sch = _probe_dir_schemas(spark, [os.path.join(delta_dir, f"epoch={all_eps[-1]}")])[0]
         empty = T.StructType(list(sch.fields) + [T.StructField("epoch", T.IntegerType(), True)])
         return spark.createDataFrame([], empty)
 
+    schemas = _probe_dir_schemas(
+        spark, [os.path.join(delta_dir, f"epoch={e}") for e in eps]
+    )
     groups: list[tuple[T.StructType, list[int]]] = []
-    for e in eps:
-        sch = spark.read.parquet(os.path.join(delta_dir, f"epoch={e}")).schema
+    for e, sch in zip(eps, schemas):
         if groups and groups[-1][0] == sch:
             groups[-1][1].append(e)
         else:
@@ -272,14 +372,14 @@ def read_maintenance_changes(
     if to_version is not None:
         vs = [v for v in vs if v <= int(to_version)]
     if not vs:
-        sch = spark.read.parquet(os.path.join(mroot, f"version={all_vs[-1]}")).schema
+        sch = _probe_dir_schemas(spark, [os.path.join(mroot, f"version={all_vs[-1]}")])[0]
         empty = T.StructType(
             list(sch.fields) + [T.StructField("version", T.IntegerType(), True)]
         )
         return spark.createDataFrame([], empty)
+    schemas = _probe_dir_schemas(spark, [os.path.join(mroot, f"version={v}") for v in vs])
     groups: list[tuple[T.StructType, list[int]]] = []
-    for v in vs:
-        sch = spark.read.parquet(os.path.join(mroot, f"version={v}")).schema
+    for v, sch in zip(vs, schemas):
         if groups and groups[-1][0] == sch:
             groups[-1][1].append(v)
         else:
@@ -490,7 +590,12 @@ def read_quarantine(
     rule as ``read_changes`` — a consumer's ``.select(...)`` must not
     break the first time a range is empty). Only a log that never
     quarantined anything returns the minimal ``epoch``-only frame (the
-    event schema is unknowable there)."""
+    event schema is unknowable there).
+
+    Schema generations fold exactly like ``read_changes``' (quarantined
+    raw events evolve with the table: epochs before a column-add surface
+    typed nulls, a numeric widen upcasts) — previously a range spanning
+    a widen failed on the parquet physical-type change."""
     qroot = os.path.join(delta_dir, "_quarantine")
     all_eps = (
         sorted(
@@ -508,14 +613,30 @@ def read_quarantine(
         eps = [e for e in eps if e <= to_epoch]
     if not eps:
         if all_eps:
-            sch = spark.read.parquet(os.path.join(qroot, f"epoch={all_eps[-1]}")).schema
+            sch = _probe_dir_schemas(spark, [os.path.join(qroot, f"epoch={all_eps[-1]}")])[0]
             fields = list(sch.fields) + [T.StructField("epoch", T.IntegerType(), True)]
             return spark.createDataFrame([], T.StructType(fields))
         return spark.createDataFrame([], T.StructType([T.StructField("epoch", T.IntegerType())]))
-    df = spark.read.option("basePath", qroot).parquet(
-        *[os.path.join(qroot, f"epoch={e}") for e in eps]
-    )
-    return df
+    schemas = _probe_dir_schemas(spark, [os.path.join(qroot, f"epoch={e}") for e in eps])
+    groups: list[tuple[T.StructType, list[int]]] = []
+    for e, sch in zip(eps, schemas):
+        if groups and groups[-1][0] == sch:
+            groups[-1][1].append(e)
+        else:
+            groups.append((sch, [e]))
+    merged = groups[0][0]
+    for sch, _ in groups[1:]:
+        merged = _merge_change_schemas(merged, sch)
+    parts = []
+    for _, grp in groups:
+        df = spark.read.option("basePath", qroot).parquet(
+            *[os.path.join(qroot, f"epoch={e}") for e in grp]
+        )
+        parts.append(align_to_schema(df, merged, ("epoch",)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @dataclass

@@ -40,7 +40,10 @@ def test_collect_only_in_sanctioned_places():
     past the cap the fetch switches to a distributed semi-join, so the
     collect is never O(corpus) even for an adversarial batch. fsck.py:
     the distributed deep scan collects only error tuples + one counter
-    row per partition — O(corruption findings), never O(files)."""
+    row per partition — O(corruption findings), never O(files).
+    merge.py: _probe_dirs_distributed collects one (index, schema-json)
+    string per change dir — planning metadata for the generation
+    grouping, a few hundred bytes per epoch, never data rows."""
     allowed = {
         "merge.py", "similarity.py", "joins.py", "lake.py", "__init__.py",
         "textdedup.py", "fsck.py",
