@@ -156,8 +156,11 @@ def _merge_change_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
 # during its own schema inference, so the footer value IS the schema a
 # spark.read probe of the same dir would return.
 _SPARK_SCHEMA_KEY = b"org.apache.spark.sql.parquet.row.metadata"
-# above this many dirs the footer probe fans out as one Spark job
-_PROBE_DISTRIBUTE_THRESHOLD = 2048
+# above this many dirs the footer probe fans out as one Spark job — the
+# measured crossover (tools/bench_log_tail.py): the driver loop runs at
+# ~0.19 ms/dir (1.5 s at 8k dirs) while the distributed probe is a flat
+# ~2.5-3 s job at any size, so fan-out only wins past ~16k dirs
+_PROBE_DISTRIBUTE_THRESHOLD = 16384
 
 
 def _dir_schema_json(d: str) -> str | None:
@@ -274,9 +277,11 @@ def read_changes(
     add-and-widen schema via ``align_to_schema`` (typed nulls for
     missing columns, upcasts for widened ones) before the union. The
     per-epoch schema comes from the parquet footer's Spark metadata key
-    (~1 ms driver-side, no Spark job — see ``_probe_dir_schemas``), and
-    past ~2k epochs the probe itself runs as one distributed job, so
-    even a full-history replay of a 10^5-epoch log plans in seconds.
+    (~0.2 ms driver-side, no Spark job — see ``_probe_dir_schemas``),
+    and past ~16k epochs the probe itself runs as one distributed job,
+    so even a full-history replay of a 10^5-epoch log plans in seconds
+    (tools/bench_log_tail.py: 624 s of legacy planning → 1.5 s at 8k
+    epochs).
 
     A caught-up consumer is the steady state, not an error: when the log
     HAS committed epochs but none fall in the requested range (e.g.
