@@ -34,7 +34,7 @@ def replay(
     todo = epochs if epochs is not None else list_epochs(events_dir)
     done_fast = set()
     if checkpoint is not None and fast_resume:
-        ck_done = {int(k) for k, v in checkpoint.load()["epochs"].items() if not v["skipped"]}
+        ck_done = checkpoint.done_epochs()
         if ck_done:
             # The lake's epoch markers are the source of truth, the
             # checkpoint is only a job-submission shortcut: a rollback()
