@@ -21,7 +21,12 @@ files are migrated into the journal on the first ``record()``.
 Crash-safety: the journal line lands before the state replace. A crash
 between the two re-applies the epoch on resume (the lake's marker makes
 it a no-op) and re-records it — a duplicate journal line, which
-``lineage()`` tolerates (last record per epoch wins), never lost state.
+``lineage()`` tolerates (last record per epoch wins). A crash MID-append
+can tear the final line; the next ``record()`` isolates it behind a
+leading newline and ``lineage()`` skips it (that epoch's retry
+re-recorded it). Legacy migration is atomic (temp + rename), so a crash
+mid-migration re-migrates rather than mistaking a truncated trail for
+the complete one. The state file itself is always replaced atomically.
 """
 
 from __future__ import annotations
@@ -94,11 +99,15 @@ class Checkpoint:
     def done_epochs(self) -> "set[int]":
         """Applied (non-skipped) epochs — the fast-resume index."""
         out: set[int] = set()
+        total = 0
         for lo, hi in self.load()["done_runs"]:
-            if hi - lo + 1 > _MAX_EXPAND:
+            # cap the TOTAL expansion, not per-run: several sub-cap runs
+            # in a tampered state would otherwise still OOM the driver
+            total += hi - lo + 1
+            if total > _MAX_EXPAND:
                 raise RuntimeError(
-                    f"checkpoint run [{lo}, {hi}] expands past {_MAX_EXPAND} "
-                    "epochs — corrupt state file?"
+                    f"checkpoint runs expand past {_MAX_EXPAND} epochs "
+                    f"(at [{lo}, {hi}]) — corrupt state file?"
                 )
             out.update(range(lo, hi + 1))
         return out
@@ -113,18 +122,34 @@ class Checkpoint:
             "offsets": {str(k): v for k, v in result.offsets.items()},
         }
         # journal first (append-only, O(1) per epoch — the complete audit
-        # trail); migrate a legacy full-dict state into it once, so
-        # trimming the inline window below never loses lineage
-        lines = []
-        if state["epochs"] and not os.path.exists(self.journal_path):
-            lines = [
-                json.dumps({"epoch": int(k), **state["epochs"][k]})
-                for k in sorted(state["epochs"], key=int)
-            ]
-        lines.append(json.dumps({"epoch": result.epoch_id, **entry}))
+        # trail)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        if state["epochs"] and not os.path.exists(self.journal_path):
+            # one-shot legacy migration, ATOMIC (write-temp + replace):
+            # a crash mid-migration leaves no journal at all, so the
+            # retry re-migrates instead of treating a truncated trail as
+            # the complete one and letting the trim below drop lineage
+            tmpj = f"{self.journal_path}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmpj, "w", encoding="utf-8") as f:
+                for k in sorted(state["epochs"], key=int):
+                    f.write(json.dumps({"epoch": int(k), **state["epochs"][k]}) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmpj, self.journal_path)
+        # torn-append healing: a crash mid-append can leave a partial
+        # final line with no newline — lead with one so the damaged line
+        # stays isolated (lineage() skips it) instead of swallowing this
+        # record into unparseable garbage
+        lead = ""
+        try:
+            with open(self.journal_path, "rb") as jf:
+                jf.seek(-1, os.SEEK_END)
+                if jf.read(1) != b"\n":
+                    lead = "\n"
+        except (OSError, ValueError):
+            pass  # absent or empty journal — nothing to heal
         with open(self.journal_path, "a", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write(lead + json.dumps({"epoch": result.epoch_id, **entry}) + "\n")
             f.flush()
             os.fsync(f.fileno())
 
@@ -149,12 +174,20 @@ class Checkpoint:
         falls back to the inline window for never-journaled states). A
         crash-retried epoch can appear twice — the LAST record per epoch
         is the one whose state replace landed, so consumers that want
-        one-per-epoch should fold with last-wins."""
+        one-per-epoch should fold with last-wins. A line torn by a crash
+        mid-append is skipped (its epoch was re-recorded on resume — the
+        healing newline in ``record()`` keeps the damage isolated)."""
         if os.path.exists(self.journal_path):
             with open(self.journal_path, encoding="utf-8") as f:
                 for line in f:
-                    if line.strip():
-                        yield json.loads(line)
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue  # torn append from a crash
+                    yield rec
             return
         state = self.load()
         for k in sorted(state["epochs"], key=int):

@@ -248,6 +248,39 @@ def _probe_dir_schemas(spark: SparkSession, dirs: list) -> list:
     return out
 
 
+def _read_generations(
+    spark: SparkSession, root: str, part_col: str, ids: list
+) -> DataFrame:
+    """Shared generation fold for the three change-feed readers: group
+    adjacent ``{root}/{part_col}={id}`` dirs by probed schema (a widen
+    changes parquet physical types, so a single mixed read would fail),
+    fold the group schemas with the add-and-widen rule, align each
+    group's read to the fold, and union. One place to fix — the readers
+    differ only in root, partition column and id selection."""
+    schemas = _probe_dir_schemas(
+        spark, [os.path.join(root, f"{part_col}={i}") for i in ids]
+    )
+    groups: list[tuple[T.StructType, list]] = []
+    for i, sch in zip(ids, schemas):
+        if groups and groups[-1][0] == sch:
+            groups[-1][1].append(i)
+        else:
+            groups.append((sch, [i]))
+    merged = groups[0][0]
+    for sch, _ in groups[1:]:
+        merged = _merge_change_schemas(merged, sch)
+    parts = []
+    for _, grp in groups:
+        df = spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f"{part_col}={i}") for i in grp]
+        )
+        parts.append(align_to_schema(df, merged, (part_col,)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_changes(
     spark: SparkSession,
     delta_dir: str,
@@ -307,29 +340,7 @@ def read_changes(
         empty = T.StructType(list(sch.fields) + [T.StructField("epoch", T.IntegerType(), True)])
         return spark.createDataFrame([], empty)
 
-    schemas = _probe_dir_schemas(
-        spark, [os.path.join(delta_dir, f"epoch={e}") for e in eps]
-    )
-    groups: list[tuple[T.StructType, list[int]]] = []
-    for e, sch in zip(eps, schemas):
-        if groups and groups[-1][0] == sch:
-            groups[-1][1].append(e)
-        else:
-            groups.append((sch, [e]))
-    merged = groups[0][0]
-    for sch, _ in groups[1:]:
-        merged = _merge_change_schemas(merged, sch)
-
-    parts = []
-    for _, es in groups:
-        df = spark.read.option("basePath", delta_dir).parquet(
-            *[os.path.join(delta_dir, f"epoch={e}") for e in es]
-        )
-        parts.append(align_to_schema(df, merged, ("epoch",)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _read_generations(spark, delta_dir, "epoch", eps)
 
 
 def read_maintenance_changes(
@@ -382,26 +393,7 @@ def read_maintenance_changes(
             list(sch.fields) + [T.StructField("version", T.IntegerType(), True)]
         )
         return spark.createDataFrame([], empty)
-    schemas = _probe_dir_schemas(spark, [os.path.join(mroot, f"version={v}") for v in vs])
-    groups: list[tuple[T.StructType, list[int]]] = []
-    for v, sch in zip(vs, schemas):
-        if groups and groups[-1][0] == sch:
-            groups[-1][1].append(v)
-        else:
-            groups.append((sch, [v]))
-    merged = groups[0][0]
-    for sch, _ in groups[1:]:
-        merged = _merge_change_schemas(merged, sch)
-    parts = []
-    for _, grp in groups:
-        df = spark.read.option("basePath", mroot).parquet(
-            *[os.path.join(mroot, f"version={v}") for v in grp]
-        )
-        parts.append(align_to_schema(df, merged, ("version",)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _read_generations(spark, mroot, "version", vs)
 
 
 def expire_changes(
@@ -622,26 +614,7 @@ def read_quarantine(
             fields = list(sch.fields) + [T.StructField("epoch", T.IntegerType(), True)]
             return spark.createDataFrame([], T.StructType(fields))
         return spark.createDataFrame([], T.StructType([T.StructField("epoch", T.IntegerType())]))
-    schemas = _probe_dir_schemas(spark, [os.path.join(qroot, f"epoch={e}") for e in eps])
-    groups: list[tuple[T.StructType, list[int]]] = []
-    for e, sch in zip(eps, schemas):
-        if groups and groups[-1][0] == sch:
-            groups[-1][1].append(e)
-        else:
-            groups.append((sch, [e]))
-    merged = groups[0][0]
-    for sch, _ in groups[1:]:
-        merged = _merge_change_schemas(merged, sch)
-    parts = []
-    for _, grp in groups:
-        df = spark.read.option("basePath", qroot).parquet(
-            *[os.path.join(qroot, f"epoch={e}") for e in grp]
-        )
-        parts.append(align_to_schema(df, merged, ("epoch",)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _read_generations(spark, qroot, "epoch", eps)
 
 
 @dataclass

@@ -95,5 +95,53 @@ def test_duplicate_journal_lines_tolerated(tmp_path):
 def test_corrupt_run_expansion_guard(tmp_path):
     p = tmp_path / "c.json"
     p.write_text(json.dumps({"last_epoch": 0, "epochs": {}, "done_runs": [[0, 10**15]]}))
-    with pytest.raises(RuntimeError, match="expands past"):
+    with pytest.raises(RuntimeError, match="expand past"):
         Checkpoint(str(p)).done_epochs()
+    # several sub-cap runs must trip the guard on their SUM, not per-run
+    runs = [[i * 10**8, i * 10**8 + 49_000_000] for i in range(4)]
+    p.write_text(json.dumps({"last_epoch": 0, "epochs": {}, "done_runs": runs}))
+    with pytest.raises(RuntimeError, match="expand past"):
+        Checkpoint(str(p)).done_epochs()
+
+
+def test_torn_journal_append_is_isolated_and_skipped(tmp_path):
+    # crash mid-append leaves a partial final line with no newline; the
+    # next record() must not fuse onto it, and lineage() must skip it
+    ck = Checkpoint(str(tmp_path / "c.json"))
+    ck.record(_res(0))
+    with open(ck.journal_path, "a", encoding="utf-8") as f:
+        f.write('{"epoch": 1, "version"')  # torn: no newline, invalid JSON
+    ck.record(_res(2))
+    trail = list(ck.lineage())
+    assert [e["epoch"] for e in trail] == [0, 2]
+    assert trail[-1]["version"] == 3  # epoch 2's record is intact
+
+
+def test_crashed_legacy_migration_retries(tmp_path, monkeypatch):
+    # a crash mid-migration must leave NO journal (atomic temp+rename),
+    # so the retry re-migrates instead of trusting a truncated trail
+    p = tmp_path / "c.json"
+    legacy = {
+        "last_epoch": 1,
+        "epochs": {
+            str(e): {"version": e + 1, "skipped": False, "counts": {},
+                     "changed_buckets": [], "offsets": {}}
+            for e in range(2)
+        },
+    }
+    p.write_text(json.dumps(legacy))
+    ck = Checkpoint(str(p))
+    real_replace = __import__("os").replace
+
+    def crash_on_journal(src, dst):
+        if dst == ck.journal_path:
+            raise OSError("simulated crash before the journal rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("os.replace", crash_on_journal)
+    with pytest.raises(OSError, match="simulated crash"):
+        ck.record(_res(2))
+    monkeypatch.undo()
+    assert not __import__("os").path.exists(ck.journal_path)  # no half-journal
+    ck.record(_res(2))  # retry migrates THEN records
+    assert [e["epoch"] for e in ck.lineage()] == [0, 1, 2]

@@ -6,8 +6,10 @@ probe was `spark.read.parquet(dir).schema` — a full file-source
 inference (~50-100 ms driver wall each), which made a full-history
 replay of a 10^5-epoch log spend HOURS planning before reading a row.
 The probe now reads Spark's own schema JSON from one parquet footer per
-dir (~1 ms, no Spark job) and fans out as one Arrow-batched Spark job
-past ~2k dirs (`merge._probe_dir_schemas`).
+dir (~0.2 ms, no Spark job) and fans out as one Arrow-batched Spark job
+past the measured ~16k-dir crossover (`merge._probe_dir_schemas` /
+`_PROBE_DISTRIBUTE_THRESHOLD` — the fan-out is a flat ~2.5-3 s job, so
+the driver loop wins below that).
 
 This bench builds a synthetic committed change log (one template epoch
 dir written by Spark with the real change-row schema, copied N times —
@@ -86,10 +88,13 @@ def main() -> None:
         distributed_probe_s = time.perf_counter() - t0
         assert dist == schemas
 
+        # noop sink, not count(): count() lets Catalyst prune the
+        # payload columns out of the scan (CLAUDE.md gotcha) — the
+        # full-history figure must price the actual read
         t0 = time.perf_counter()
-        rows = merge.read_changes(spark, root).count()
+        merge.read_changes(spark, root).write.format("noop").mode("overwrite").save()
         read_changes_s = time.perf_counter() - t0
-        assert rows == n * 64
+        assert merge.read_changes(spark, root).count() == n * 64  # untimed
 
         points.append(
             {
