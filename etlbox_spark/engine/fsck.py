@@ -29,6 +29,9 @@ the checks themselves are this engine's own commit-protocol contracts:
 * data files referenced by NO retained snapshot are reported as
   ``orphans`` (vacuum candidates, not errors); files newer than the
   latest commit record are assumed in-flight and only warned about.
+  The listing is SUPPRESSED (with an ``orphans-suppressed`` warning)
+  whenever any retained version failed to materialize — an unknown
+  reference set would mislabel that version's live files as deletable.
 
 Passing ``delta_dir`` extends the audit to the change log — the other
 half of the exactly-once story (engine/merge.py's rename protocol):
@@ -205,8 +208,11 @@ def _deep_check_file(abspath: str, tag: str, e: dict) -> tuple[int, int, list]:
                 kmax = st.max if kmax is None else max(kmax, st.max)
     except Exception as ex:  # corrupt footer
         return 0, 0, [("footer-unreadable", f"{tag}: {type(ex).__name__}: {ex}")]
-    if num_rows != e["rows"]:
-        errors.append(("rows-mismatch", f"{tag}: footer={num_rows} manifest={e['rows']}"))
+    # e.get, not e[...]: a tampered entry without "rows" already reported
+    # entry-bad-rows, but the deep pass still runs — a KeyError here would
+    # break fsck's never-raises contract (distributed mode ships e.get too)
+    if num_rows != e.get("rows"):
+        errors.append(("rows-mismatch", f"{tag}: footer={num_rows} manifest={e.get('rows')}"))
     if kmin is not None and (e.get("khash_min"), e.get("khash_max")) != (kmin, kmax):
         errors.append(
             (
@@ -318,6 +324,7 @@ def _check_delta_log(
                 break
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             rollback_possible = True  # unreadable record — can't prove
+            break
     now = time.time()
 
     def _sweep(root: str, kind: str) -> list[int]:
@@ -637,20 +644,35 @@ def fsck(
             if age > _STALE_MARKER_S:
                 _warn(report, "stale-marker", f"{fn} is {age / 3600.0:.1f}h old (crashed writer?)")
 
-    # 6. orphan data files (referenced by NO retained snapshot)
-    live = {
-        os.path.normpath(e["path"])
-        for m in snapshots.values()
-        if isinstance(m.files, (list, tuple))
-        for e in m.files
-        if isinstance(e, dict) and isinstance(e.get("path"), str) and e["path"]
-    }
+    # 6. orphan data files (referenced by NO retained snapshot). If ANY
+    # retained version failed to materialize, its references are unknown
+    # — files only IT references would be mislabeled orphans, and an
+    # operator script deleting report["orphans"] would destroy live data.
+    # Suppress the listing rather than publish an untrustworthy one.
+    if any(e["code"] in ("unmaterializable", "record-unreadable") for e in report["errors"]):
+        _warn(
+            report,
+            "orphans-suppressed",
+            "one or more retained versions failed to materialize — the "
+            "orphan listing would be untrustworthy (a file referenced "
+            "only by the broken version would be mislabeled); repair the "
+            "metadata first",
+        )
+        live = None
+    else:
+        live = {
+            os.path.normpath(e["path"])
+            for m in snapshots.values()
+            if isinstance(m.files, (list, tuple))
+            for e in m.files
+            if isinstance(e, dict) and isinstance(e.get("path"), str) and e["path"]
+        }
     data_dir = table._data_dir
     try:
         newest_rec_mtime = os.path.getmtime(table._vpath(latest))
     except OSError:
         newest_rec_mtime = now
-    for dirpath, _dirs, files in os.walk(data_dir):
+    for dirpath, _dirs, files in os.walk(data_dir) if live is not None else ():
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue

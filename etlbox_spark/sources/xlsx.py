@@ -62,6 +62,12 @@ class _NoSuchSheet(ValueError):
     conversion and from ``on_malformed`` routing."""
 
 
+# the XLSX format's own column limit (XFD). A crafted ref like
+# "AAAAAAAAAA1" would otherwise drive the gap-fill loop to append ~10^14
+# Nones — an OOM/hang instead of the typed error the containment promises
+_MAX_COLS = 16384
+
+
 def _col_index(cell_ref: str) -> int:
     """'BC12' -> 0-based column index 54."""
     n = 0
@@ -70,6 +76,11 @@ def _col_index(cell_ref: str) -> int:
             n = n * 26 + (ord(ch.upper()) - 64)
         else:
             break
+    if n > _MAX_COLS:
+        raise XlsxFormatError(
+            f"cell ref {cell_ref!r} addresses column {n}, past the XLSX "
+            f"maximum of {_MAX_COLS} (XFD)"
+        )
     return n - 1
 
 
@@ -83,7 +94,11 @@ def _cell_value(c: ET.Element, shared: list[str], typed: bool = False):
         return None
     raw = v.text or ""
     if t == "s":
-        return shared[int(raw)]
+        i = int(raw)
+        if i < 0:  # Python negative indexing would silently wrap to the
+            # LAST shared string — wrong data instead of a typed error
+            raise XlsxFormatError(f"negative shared-string index {i}")
+        return shared[i]
     if t == "b":
         return (raw == "1") if typed else ("true" if raw == "1" else "false")
     if typed and t == "n":
@@ -245,7 +260,7 @@ def rows_to_xlsx_bytes(
                 if col_kinds is None or r_i <= header_rows or c_i >= len(col_kinds)
                 else col_kinds[c_i]
             )
-            if kind == "n":
+            if kind == "n" and _is_finite_number(str(val)):
                 cells.append(f'<c r="{ref}"><v>{escape(str(val))}</v></c>')
             elif kind == "b":
                 bit = "1" if str(val).lower() in ("true", "1") else "0"
@@ -280,6 +295,18 @@ def rows_to_xlsx_bytes(
     return buf.getvalue()
 
 
+def _is_finite_number(s: str) -> bool:
+    """NaN/Infinity in a double column would otherwise be emitted as a
+    native numeric cell (<v>NaN</v>) — content Excel itself rejects as
+    corrupt. Non-finite values fall through to the inline-string branch."""
+    import math
+
+    try:
+        return math.isfinite(float(s))
+    except ValueError:
+        return False
+
+
 def _col_letters(idx: int) -> str:
     s = ""
     idx += 1
@@ -304,17 +331,41 @@ def _first_file_bytes(path: str) -> bytes:
         candidates = sorted(_glob.glob(p))
     if not candidates:
         raise FileNotFoundError(f"no .xlsx files under {path}")
-    return open(candidates[0], "rb").read()
+    with open(candidates[0], "rb") as f:
+        return f.read()
 
 
 def _peek_names(rows: list[list], header: bool) -> list[str]:
     width = max((len(r) for r in rows), default=0)
     if header and rows:
-        return [
+        names = [
             str(rows[0][i]) if i < len(rows[0]) and rows[0][i] is not None else f"_c{i}"
             for i in range(width)
         ]
+        return _uniquify(names)
     return [f"_c{i}" for i in range(width)]
+
+
+def _uniquify(names: list[str]) -> list[str]:
+    """Duplicate header cells are common in real spreadsheets; left as-is
+    the decode's column dict would collapse them and silently replace the
+    earlier column's DATA with the last duplicate's. Disambiguate the way
+    pandas does: 'id', 'id_1', 'id_2', ..."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            fresh = f"{n}_{seen[n]}"
+            while fresh in seen:
+                seen[n] += 1
+                fresh = f"{n}_{seen[n]}"
+            seen[fresh] = 0
+            out.append(fresh)
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out
 
 
 def _infer_schema(rows: list[list], names: list[str], header: bool) -> T.StructType:
@@ -380,6 +431,13 @@ def read_excel(
         names = _peek_names(typed_rows, header)
         if infer_types:
             schema = _infer_schema(typed_rows, names, header)
+    if len(set(names)) != len(names):
+        dup = next(n for n in names if names.count(n) > 1)
+        raise ValueError(
+            f"duplicate column name {dup!r} in schema=/columns= — the "
+            "decode addresses columns by name (header-derived names are "
+            "auto-disambiguated, caller-given ones must be unique)"
+        )
     out_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
 
     def decode(batches: Iterator) -> Iterator:
@@ -401,7 +459,15 @@ def read_excel(
                 }
                 yield pd.DataFrame(cols, columns=names, dtype=object)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # match the driver-side sniff's *.xlsx glob: without the filter a
+    # stray notes.txt next to the workbooks would reach the decoder and
+    # abort the scan under on_malformed="fail"
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xlsx")
+        .load(path)
+        .select("path", "content")
+    )
     df = files.mapInPandas(decode, schema=out_schema)
     if schema is not None:
         df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

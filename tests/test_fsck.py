@@ -337,3 +337,43 @@ def test_fsck_contains_non_utf8_and_non_object_records(spark, tmp_path):
     r = t.fsck(deep=True, delta_dir=str(tmp_path / "log"))
     assert not r["ok"]
     assert "unmaterializable" in _codes(r)
+
+
+def test_fsck_deep_survives_entry_missing_rows(spark, tmp_path):
+    # a tampered entry WITHOUT "rows" reaches the deep pass (entry-bad-rows
+    # does not return); e["rows"] there raised KeyError out of fsck(),
+    # breaking never-raises in sequential mode only (distributed shipped
+    # e.get) -- both modes must report, not crash
+    t = _mk(spark, tmp_path)
+    vpath = t._vpath(t.latest_version())
+    with open(vpath, encoding="utf-8") as f:
+        rec = json.load(f)
+    entries = rec["add"] if "add" in rec else rec["files"]
+    del entries[0]["rows"]
+    with open(vpath, "w", encoding="utf-8") as f:
+        json.dump(rec, f)
+    r_seq = t.fsck(deep=True)
+    assert not r_seq["ok"]
+    assert {"entry-bad-rows", "rows-mismatch"} <= _codes(r_seq)
+    r_dist = t.fsck(deep=True, spark=spark)
+    assert _codes(r_dist) == _codes(r_seq)
+
+
+def test_fsck_suppresses_orphans_when_a_version_is_unreadable(spark, tmp_path):
+    # files referenced ONLY by an unmaterializable version must not be
+    # listed as vacuum candidates -- an operator deleting report["orphans"]
+    # would destroy the only copy of that snapshot's data
+    t = _mk(spark, tmp_path)
+    vpath = t._vpath(t.latest_version())
+    raw = open(vpath, "rb").read()
+    with open(vpath, "wb") as f:
+        f.write(raw[: len(raw) // 2])  # truncate: latest record unreadable
+    # age the data files past the in-flight grace so they WOULD be orphans
+    old = time.time() - 7200
+    for dirpath, _d, files in os.walk(t._data_dir):
+        for fn in files:
+            os.utime(os.path.join(dirpath, fn), (old, old))
+    r = t.fsck()
+    assert not r["ok"]
+    assert r["orphans"] == []
+    assert "orphans-suppressed" in {w["code"] for w in r["warnings"]}

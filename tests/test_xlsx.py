@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etlbox_spark.sources.xlsx import (
+    XlsxFormatError,
     read_excel,
     rows_to_xlsx_bytes,
     write_excel,
@@ -314,3 +315,94 @@ def test_read_excel_on_malformed_routing(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_excel(spark, str(d), schema=schema, on_malformed="quarantine")
+
+
+def test_codec_caps_hostile_column_ref():
+    # a crafted ref like AAAAAAAAAA1 addresses column ~1.4e14; the
+    # gap-fill loop must raise the typed error, not append 10^14 Nones
+    data = rows_to_xlsx_bytes([["a"]])
+    hostile = _zip_replace(
+        data,
+        "xl/worksheets/sheet1.xml",
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="AAAAAAAAAA1"><v>x</v></c></row></sheetData>'
+        "</worksheet>",
+    )
+    with pytest.raises(XlsxFormatError, match="past the XLSX maximum"):
+        xlsx_bytes_to_rows(hostile)
+    # the real XLSX maximum (XFD = column 16384) still decodes
+    legal = _zip_replace(
+        data,
+        "xl/worksheets/sheet1.xml",
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="XFD1"><v>x</v></c></row></sheetData>'
+        "</worksheet>",
+    )
+    row = xlsx_bytes_to_rows(legal)[0]
+    assert len(row) == 16384 and row[-1] == "x"
+
+
+def test_codec_negative_shared_string_index_is_typed_error():
+    # Python negative indexing would silently return the LAST shared
+    # string -- wrong data, not even an error
+    data = rows_to_xlsx_bytes([["a"]])
+    hostile = _zip_replace(
+        data,
+        "xl/worksheets/sheet1.xml",
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="s"><v>-1</v></c></row></sheetData>'
+        "</worksheet>",
+    )
+    # need a shared-string table for the wrap to have a target
+    import io as _io
+
+    src = zipfile.ZipFile(_io.BytesIO(hostile))
+    out = _io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for item in src.infolist():
+            zf.writestr(item, src.read(item.filename))
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?>'
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<si><t>secret-last-string</t></si></sst>",
+        )
+    with pytest.raises(XlsxFormatError, match="negative shared-string"):
+        xlsx_bytes_to_rows(out.getvalue())
+
+
+def test_read_excel_duplicate_headers_disambiguated(spark, tmp_path):
+    # duplicate header cells must not silently replace column 0's data
+    # with column 2's (the old dict-comprehension collapse)
+    data = rows_to_xlsx_bytes([["id", "val", "id"], ["1", "x", "9"], ["2", "y", "8"]])
+    (tmp_path / "dup.xlsx").write_bytes(data)
+    df = read_excel(spark, str(tmp_path / "dup.xlsx"))
+    assert df.columns == ["id", "val", "id_1"]
+    got = sorted((r["id"], r["val"], r["id_1"]) for r in df.collect())
+    assert got == [("1", "x", "9"), ("2", "y", "8")]
+    # explicitly caller-given duplicates are an error, not a silent collapse
+    with pytest.raises(ValueError, match="duplicate column name"):
+        read_excel(spark, str(tmp_path / "dup.xlsx"), columns=["id", "val", "id"])
+
+
+def test_read_excel_ignores_non_xlsx_neighbors(spark, tmp_path):
+    (tmp_path / "book.xlsx").write_bytes(rows_to_xlsx_bytes(ROWS))
+    (tmp_path / "notes.txt").write_text("not a workbook")
+    df = read_excel(spark, str(tmp_path))  # on_malformed="fail": the txt must not reach the decoder
+    assert df.count() == len(ROWS) - 1
+
+
+def test_write_excel_nonfinite_doubles_stay_strings(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf"))], "id long, v double"
+    )
+    out = str(tmp_path / "xl")
+    write_excel(df.coalesce(1), out).collect()
+    fn = [f for f in __import__("os").listdir(out) if f.endswith(".xlsx")][0]
+    rows = xlsx_bytes_to_rows((tmp_path / "xl" / fn).read_bytes(), typed=True)
+    vals = {r[0]: r[1] for r in rows[1:]}
+    assert vals[1] == 1.5  # finite stays a native numeric cell
+    assert vals[2] == "NaN" and vals[3] == "Infinity"  # non-finite -> inline strings
