@@ -39,7 +39,22 @@ def route_errors(
     reason (matching ETLBox, which faults a row on the first thrown
     exception). ``row_cols`` limits which columns land in ``error_row``
     (defaults to all input columns).
+
+    Three-valued logic: a check whose condition evaluates to SQL NULL
+    does NOT fail the row (SQL ``WHERE`` semantics — NULL is not true).
+    When NULL inputs should fail, say so in the condition: add an
+    ``isNull()`` arm or wrap with ``F.coalesce(cond, F.lit(True))`` —
+    ``cast_or_route`` below shows the pattern (its null-guard makes
+    "input present, cast result absent" explicit).
     """
+    for taken in (ERROR_REASON_COL, ERROR_ROW_COL):
+        if taken in df.columns:
+            # silently overwriting a prior pass's routing columns would
+            # lose user data (the good branch drops ERROR_REASON_COL)
+            raise ValueError(
+                f"input already has a {taken!r} column — rename it (or "
+                "drop a previous route's columns) before re-routing"
+            )
     reason = F.coalesce(
         *[F.when(cond, F.lit(r)) for cond, r in checks], F.lit(None).cast("string")
     )

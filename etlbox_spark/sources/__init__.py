@@ -110,24 +110,43 @@ def xml_rows(
     (local FS here; ship via ``SparkContext.addFile`` on a cluster)."""
     from pyspark.sql import functions as F
 
-    opts = {"rowValidationXSDPath": xsd_path} if xsd_path else {}
-    parsed = df.withColumn("__x", F.from_xml(F.col(xml_col), schema, opts))
     keep = [c for c in df.columns if c != xml_col]
+    clash = [f"{out_prefix}{f.name}" for f in schema.fields if f"{out_prefix}{f.name}" in keep]
+    if clash:
+        raise ValueError(
+            f"parsed column name(s) {clash} collide with kept input "
+            "columns — the result would carry ambiguous duplicates; set "
+            "out_prefix to disambiguate"
+        )
+    tmp = "__x"
+    while tmp in df.columns:
+        tmp += "_"
+    opts = {"rowValidationXSDPath": xsd_path} if xsd_path else {}
+    parsed = df.withColumn(tmp, F.from_xml(F.col(xml_col), schema, opts))
     return parsed.select(
         *keep,
-        *[F.col(f"__x.{f.name}").alias(f"{out_prefix}{f.name}") for f in schema.fields],
+        *[F.col(f"{tmp}.{f.name}").alias(f"{out_prefix}{f.name}") for f in schema.fields],
     )
 
 
 def to_xml_rows(df: DataFrame, row_tag: str = "row", out_col: str = "xml") -> DataFrame:
     """Serialize each row to one XML element string (Spark 4 built-in
     ``to_xml`` over a struct of all columns) — the row-serialization half
-    of XmlDestination; element-per-row, newlines collapsed so the output
-    is one element per line (round-trips through ``xml_rows``)."""
+    of XmlDestination; one element per line, round-trips through
+    ``xml_rows``. Only STRUCTURAL newlines (between tags — to_xml
+    pretty-prints) are collapsed; a newline INSIDE a value is serialized
+    literally by to_xml, so it is re-escaped as the ``&#10;``/``&#13;``
+    character reference, which any XML parser (incl. ``from_xml``)
+    decodes back — the old blanket ``\\s*\\n\\s*`` collapse silently
+    corrupted newline-bearing values ("a\\nb" → "ab")."""
     from pyspark.sql import functions as F
 
     xml = F.to_xml(F.struct(*[F.col(c) for c in df.columns]), {"rowTag": row_tag})
-    return df.select(F.regexp_replace(xml, r"\s*\n\s*", "").alias(out_col))
+    one_line = F.regexp_replace(xml, r">\s*\n\s*<", "><")
+    escaped = F.regexp_replace(
+        F.regexp_replace(one_line, r"\r", "&#13;"), r"\n", "&#10;"
+    )
+    return df.select(escaped.alias(out_col))
 
 
 def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:

@@ -1,3 +1,13 @@
-from .tail import tail_available_now
+from .tail import (
+    stream_changes,
+    stream_maintenance_changes,
+    tail_available_now,
+    tail_processing_time,
+)
 
-__all__ = ["tail_available_now"]
+__all__ = [
+    "stream_changes",
+    "stream_maintenance_changes",
+    "tail_available_now",
+    "tail_processing_time",
+]

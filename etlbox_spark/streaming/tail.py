@@ -21,6 +21,41 @@ from ..engine.merge import apply_epoch
 from ..engine.spec import MergeMode, MergeSpec
 
 
+def _start_tail(
+    spark: SparkSession,
+    lake: LakeTable,
+    events_glob: str,
+    events_schema: T.StructType,
+    spec: MergeSpec,
+    mode: MergeMode,
+    stream_checkpoint_dir: str | None,
+    engine_checkpoint: Checkpoint | None,
+    delta_dir: str | None,
+    epoch_offset: int,
+    max_files_per_trigger: int | None,
+    trigger_kwargs: dict,
+):
+    """Shared core of both tail modes — the epoch-id contract
+    (``epoch_offset + batch_id`` → lake marker no-op on retry) is
+    safety-critical and must not fork between them."""
+
+    def _apply(batch_df, batch_id: int) -> None:
+        res = apply_epoch(
+            spark, lake, batch_df, spec, mode, epoch_offset + int(batch_id), delta_dir=delta_dir
+        )
+        if engine_checkpoint is not None:
+            engine_checkpoint.record(res)
+
+    reader = spark.readStream.schema(events_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_glob)
+    writer = stream.writeStream.foreachBatch(_apply).trigger(**trigger_kwargs)
+    if stream_checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
+    return writer.start()
+
+
 def tail_available_now(
     spark: SparkSession,
     lake: LakeTable,
@@ -40,23 +75,23 @@ def tail_available_now(
     batch id that already committed no-ops via the lake epoch marker —
     this is what makes the sink exactly-once even though foreachBatch
     itself is at-least-once.
+
+    RERUN CONTRACT — batch ids (and so epoch ids) come from the STREAM
+    checkpoint: a rerun with the SAME ``stream_checkpoint_dir`` resumes
+    Spark's source offsets and batches only NEW files under fresh batch
+    ids (the incremental tail). A rerun WITHOUT one (or with a fresh
+    dir) restarts batch ids at 0, which is safe ONLY as a pure re-drain
+    of an unchanged file set (every batch no-ops via its marker —
+    idempotence, tested): if new files landed since, they ride in a
+    batch whose epoch id is already committed and are silently dropped
+    by the marker. To pick up new files, keep the checkpoint dir, or
+    bump ``epoch_offset`` past the lake's max committed epoch.
     """
-
-    def _apply(batch_df, batch_id: int) -> None:
-        res = apply_epoch(
-            spark, lake, batch_df, spec, mode, epoch_offset + int(batch_id), delta_dir=delta_dir
-        )
-        if engine_checkpoint is not None:
-            engine_checkpoint.record(res)
-
-    reader = spark.readStream.schema(events_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(events_glob)
-    writer = stream.writeStream.foreachBatch(_apply).trigger(availableNow=True)
-    if stream_checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
-    q = writer.start()
+    q = _start_tail(
+        spark, lake, events_glob, events_schema, spec, mode,
+        stream_checkpoint_dir, engine_checkpoint, delta_dir, epoch_offset,
+        max_files_per_trigger, {"availableNow": True},
+    )
     q.awaitTermination()
 
 
@@ -87,23 +122,16 @@ def tail_processing_time(
     offsets with the same batch-id sequence. State at any instant equals
     an epoch-loop replay of the files the source has consumed — the
     pytest drives convergence against exactly that oracle.
+
+    The ``tail_available_now`` rerun contract applies identically: a
+    restart without the same ``stream_checkpoint_dir`` restarts batch
+    ids at 0 and silently no-ops new files into committed epoch ids.
     """
-
-    def _apply(batch_df, batch_id: int) -> None:
-        res = apply_epoch(
-            spark, lake, batch_df, spec, mode, epoch_offset + int(batch_id), delta_dir=delta_dir
-        )
-        if engine_checkpoint is not None:
-            engine_checkpoint.record(res)
-
-    reader = spark.readStream.schema(events_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(events_glob)
-    writer = stream.writeStream.foreachBatch(_apply).trigger(processingTime=interval)
-    if stream_checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", stream_checkpoint_dir)
-    return writer.start()
+    return _start_tail(
+        spark, lake, events_glob, events_schema, spec, mode,
+        stream_checkpoint_dir, engine_checkpoint, delta_dir, epoch_offset,
+        max_files_per_trigger, {"processingTime": interval},
+    )
 
 
 def stream_changes(

@@ -171,3 +171,52 @@ def test_xsd_schema_and_row_validation(spark, tmp_path):
     got = {r.src: (r.id, r.name) for r in out.collect()}
     assert got["ok"] == (1, "Test1")
     assert got["bad"] == (None, None)  # XSD-invalid row nulled, not dropped
+
+
+def test_to_xml_preserves_value_newlines(spark):
+    # the old blanket \s*\n\s* collapse turned "a\nb" into "ab" -- silent
+    # corruption; now only STRUCTURAL newlines collapse and value
+    # newlines ride as &#10;/&#13; char refs that from_xml decodes back
+    from etlbox_spark.sources import to_xml_rows
+
+    df = spark.createDataFrame([("a\nb", 1), ("c\rd", 2), ("plain", 3)], "s string, n int")
+    xml = to_xml_rows(df)
+    for r in xml.collect():
+        assert "\n" not in r["xml"] and "\r" not in r["xml"]  # one element per line
+    schema = T.StructType([T.StructField("s", T.StringType()), T.StructField("n", T.IntegerType())])
+    back = {(r["s"], r["n"]) for r in xml_rows(xml, "xml", schema).collect()}
+    assert back == {("a\nb", 1), ("c\rd", 2), ("plain", 3)}
+
+
+def test_xml_rows_rejects_colliding_output_names(spark):
+    import pytest as _pytest
+
+    schema = T.StructType([T.StructField("id", T.StringType())])
+    df = spark.createDataFrame([("1", "<row><id>9</id></row>")], "id string, xml string")
+    with _pytest.raises(ValueError, match="collide"):
+        xml_rows(df, "xml", schema)  # parsed 'id' vs kept input 'id'
+    out = xml_rows(df, "xml", schema, out_prefix="x_")  # disambiguated
+    assert out.columns == ["id", "x_id"]
+    # a pre-existing __x column must not be clobbered by the temp struct
+    df2 = spark.createDataFrame([("keep", "<row><id>9</id></row>")], "__x string, xml string")
+    r = xml_rows(df2, "xml", schema).collect()[0]
+    assert r["__x"] == "keep" and r["id"] == "9"
+
+
+def test_route_errors_refuses_reserved_columns(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etlbox_spark.operators.errors import route_errors
+
+    df = spark.createDataFrame([(1, "x")], "n int, error_reason string")
+    with _pytest.raises(ValueError, match="error_reason"):
+        route_errors(df, [(F.col("n") < 0, "neg")])
+
+
+def test_streaming_package_exports():
+    import etlbox_spark.streaming as s
+
+    for name in ("tail_available_now", "tail_processing_time",
+                 "stream_changes", "stream_maintenance_changes"):
+        assert callable(getattr(s, name))
