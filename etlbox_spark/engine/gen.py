@@ -48,7 +48,11 @@ def gen_events(
 
     repo_idx = F.floor(F.lit(float(n_repos)) * F.pow(_u(seed, "repo"), F.lit(skew))).cast("int")
     path_idx = F.floor(F.lit(float(paths_per_repo)) * _u(seed, "path")).cast("int")
-    lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), (path_idx % 5) + 1)
+    # modulus = len(LANGS), not a hardcoded 5: editing LANGS would
+    # otherwise desynchronize them — silent bias when grown, an ANSI-mode
+    # INVALID_ARRAY_INDEX from element_at when shrunk. Value-identical to
+    # the original while LANGS has 5 entries (replay determinism intact).
+    lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), (path_idx % len(LANGS)) + 1)
     repo = F.format_string("repo_%04d", repo_idx)
     path = F.format_string("src/pkg%d/mod_%d.%s", path_idx % 7, path_idx, lang)
 

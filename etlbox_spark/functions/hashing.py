@@ -23,6 +23,14 @@ def bucket_expr(n_buckets: int, *key_cols: str) -> Column:
     return F.pmod(key_hash(*key_cols), F.lit(n_buckets)).cast("int")
 
 
+def salt_expr(salt_source: str, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) from an existing row-level
+    column — THE engine-wide salt derivation (replay comparability
+    depends on every operator deriving it identically; skew.py and
+    salted_key all route through here)."""
+    return F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
+
+
 def salted_key(key_col: str, n_salts: int, salt_source: str) -> Column:
     """Salt a hot key for skewed shuffles: ``key#<salt>``.
 
@@ -30,9 +38,14 @@ def salted_key(key_col: str, n_salts: int, salt_source: str) -> Column:
     (e.g. the event_seq): salt = pmod(xxhash64(salt_source), n_salts).
     Salting composes with LWW dedupe only when applied to the *shuffle*
     key, never the dedupe identity (SURVEY.md §7 'hard' #3).
+
+    ``concat_ws``, not ``concat``: concat is null-propagating, so a NULL
+    hot key — the classic real-world skew cause — would map EVERY salt
+    to NULL and still land on one reducer. concat_ws skips the null, so
+    NULL keys salt to "<salt>" (which cannot collide with a real key's
+    "...#<salt>" form).
     """
-    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
-    return F.concat(F.col(key_col), F.lit("#"), salt.cast("string"))
+    return F.concat_ws("#", F.col(key_col), salt_expr(salt_source, n_salts).cast("string"))
 
 
 def content_sha256(content_col: str = "content") -> Column:

@@ -18,8 +18,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# no "first": without an ordering it returns a partition-order-dependent
+# survivor — the determinism invariant (CLAUDE.md) bans that in data
+# paths. Callers wanting a deterministic representative use
+# operators.dedupe.dedupe_lww (ordered max_by) or min/min_by.
 _AGG_FNS = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count, "avg": F.avg,
-            "first": F.first, "count_distinct": F.countDistinct}
+            "count_distinct": F.countDistinct}
 
 
 def aggregation(
@@ -65,24 +69,25 @@ def block_transformation(
     thread; a faithful copy would be collect() — a driver bottleneck. We
     run the function per-partition via mapInPandas. Functions needing a
     true global view should be re-expressed as (aggregate → broadcast →
-    map), e.g. ``center_on_global_mean`` below."""
+    map), e.g. ``center_on_global_mean`` below. Same Arrow-batch shape
+    as ``rows.pandas_transform`` — delegate, don't fork."""
+    from .rows import pandas_transform
 
-    def _it(batches):
-        for pdf in batches:
-            yield fn(pdf)
-
-    return df.mapInPandas(_it, schema=schema)
+    return pandas_transform(df, fn, schema)
 
 
 def center_on_global_mean(df: DataFrame, col: str, out_col: str) -> DataFrame:
     """The canonical BlockTransformation use-case (normalize by a global
     statistic) done scale-correctly: one tiny aggregate, broadcast
     cross-join, map — no single-partition window, no collect."""
-    stats = df.agg(F.avg(col).alias("__mean"))
+    tmp = "__mean"
+    while tmp in df.columns:  # a user column named __mean must survive
+        tmp += "_"
+    stats = df.agg(F.avg(col).alias(tmp))
     return (
         df.crossJoin(F.broadcast(stats))
-        .withColumn(out_col, F.col(col) - F.col("__mean"))
-        .drop("__mean")
+        .withColumn(out_col, F.col(col) - F.col(tmp))
+        .drop(tmp)
     )
 
 

@@ -25,7 +25,14 @@ def multicast(
     branches: Sequence[Callable[[DataFrame], DataFrame]],
     persist: bool = False,
 ) -> list[DataFrame]:
-    """Fan one stream out to N independent branch pipelines."""
+    """Fan one stream out to N independent branch pipelines.
+
+    ``persist=True`` caches the UPSTREAM (``df`` itself — persist()
+    marks the caller's own DataFrame) and the cache lives until the
+    caller runs ``df.unpersist()`` after materializing the branches;
+    nothing here can know when the last branch action has run. Leaving
+    it cached for a long-lived session accumulates storage pressure —
+    the same measured reason persist defaults off (module doc)."""
     src = df.persist() if persist else df
     return [b(src) for b in branches]
 

@@ -44,13 +44,16 @@ def pandas_transform(df: DataFrame, fn: Callable[[pd.DataFrame], pd.DataFrame], 
 
 def row_duplication(df: DataFrame, predicate: Column | None = None, copies: int = 2) -> DataFrame:
     """Emit each row ``copies`` times (optionally only rows matching
-    ``predicate``). Expressed as explode over a literal array — stays
-    distributed, no union-induced double scan."""
+    ``predicate``; non-matching rows pass through once). Expressed as
+    explode over ``array_repeat`` — stays distributed, no union-induced
+    double scan, and ``copies=0`` DROPS matching rows (empty array →
+    explode emits nothing; the previous ``sequence(1, n)`` form counted
+    DOWN for n < 1 and silently doubled them instead)."""
     n = F.when(predicate, F.lit(copies)).otherwise(F.lit(1)) if predicate is not None else F.lit(copies)
-    return (
-        df.withColumn("__dup", F.explode(F.sequence(F.lit(1), n)))
-        .drop("__dup")
-    )
+    tmp = "__dup"
+    while tmp in df.columns:
+        tmp += "_"
+    return df.withColumn(tmp, F.explode(F.array_repeat(F.lit(1), n))).drop(tmp)
 
 
 def row_multiplication(df: DataFrame, out_col: str, elements: Column, keep_empty: bool = False) -> DataFrame:

@@ -10,11 +10,16 @@ Where salting lives in this engine:
   relies on AQE skew-join splitting.
 * Explicit salting is for aggregations whose per-key state does NOT
   collapse map-side — high-cardinality aggregates (collect_set,
-  count_distinct, percentile sketches) over zipf keys, where one
-  reducer would otherwise receive the whole hot key. That is what
+  percentile sketches) over zipf keys, where one reducer would
+  otherwise receive the whole hot key. That is what
   ``salted_aggregation`` provides: the classic two-phase shuffle —
   phase 1 aggregates (key, salt), phase 2 merges the ≤ n_salts partial
-  rows per key.
+  rows per key. The partials must be MERGEABLE (sum/min/max/count —
+  phase 2 combines per-salt results): a ``count_distinct`` partial
+  salted by a row-level source OVERCOUNTS values that appear under
+  several salts — that shape needs ``salted_count_distinct`` below,
+  which salts by the distinct column itself so per-salt sets are
+  disjoint.
 
 The salt must come from a column that distributes rows WITHIN a key
 (the event_seq / id), never from rand() — determinism is an engine-wide
@@ -28,15 +33,16 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import salt_expr
+
 SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, salt_source: str, n_salts: int) -> DataFrame:
     """Deterministic salt in [0, n_salts) from an existing row-level
-    column (e.g. the event sequence number)."""
-    return df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
-    )
+    column (e.g. the event sequence number) — the shared engine-wide
+    derivation (``functions.hashing.salt_expr``)."""
+    return df.withColumn(SALT_COL, salt_expr(salt_source, n_salts))
 
 
 def salted_aggregation(
@@ -50,8 +56,12 @@ def salted_aggregation(
     """Two-phase aggregation for skewed group keys.
 
     ``partial_aggs`` run per (group, salt) — each must ``.alias()`` the
-    intermediate column; ``merge_aggs`` combine the ≤ n_salts partials
-    per group and must alias the final columns. Example::
+    intermediate column AND be mergeable by its ``merge_aggs``
+    counterpart (sum/min/max/count compose; ``count_distinct`` does NOT
+    — a value appearing under several salts is counted once per salt;
+    use ``salted_count_distinct``, which salts by the distinct column).
+    ``merge_aggs`` combine the ≤ n_salts partials per group and must
+    alias the final columns. Example::
 
         salted_aggregation(
             events, ["repo"],
@@ -80,9 +90,8 @@ def salted_count_distinct(
     (same value → same salt, so phase-2 union of per-salt distinct sets
     is disjoint and the counts just add)."""
     keys = list(group_cols)
-    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).cast("int")
     p1 = (
-        df.withColumn(SALT_COL, salt)
+        df.withColumn(SALT_COL, salt_expr(distinct_col, n_salts))
         .groupBy(*keys, SALT_COL)
         .agg(F.count_distinct(F.col(distinct_col)).alias("__pc"))
     )

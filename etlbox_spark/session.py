@@ -12,6 +12,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(master: str) -> int:
+    """Derive the shuffle width from the RESOLVED master, not the raw
+    SPARK_GRAFT_CPUS env var: an exported CPUS=32 must not mis-size an
+    explicit ``get_spark(master="local[4]")`` call, and "local[0]" must
+    not produce an invalid 0-partition config."""
+    import re
+
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        return max(1, int(m.group(1)))
+    return os.cpu_count() or 8
+
+
 def get_spark(
     app_name: str = "etlbox_spark",
     master: str | None = None,
@@ -29,8 +42,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = os.cpu_count() or 8
-        shuffle_partitions = int(cpus) if cpus.isdigit() else n
+        shuffle_partitions = _default_shuffle_partitions(master)
 
     b = (
         SparkSession.builder.master(master)

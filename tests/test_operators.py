@@ -233,3 +233,59 @@ def test_as_of_join_whole_row_semantics(spark):
     assert out["e2"] == ("a2", None)       # equal ts matches; seq=2 beats seq=1; b stays NULL
     assert out["e3"] == ("a3", "b3")
     assert out["e4"] == (None, None)       # other key unaffected
+
+
+def test_row_duplication_zero_copies_drops(spark):
+    # sequence(1, 0) counts DOWN ([1, 0]) -- copies=0 used to silently
+    # DOUBLE matching rows instead of dropping them
+    df = spark.range(4).toDF("n")
+    dropped = row_duplication(df, predicate=F.col("n") < 2, copies=0)
+    assert sorted(r["n"] for r in dropped.collect()) == [2, 3]
+    tripled = row_duplication(df, predicate=F.col("n") == 0, copies=3)
+    assert sorted(r["n"] for r in tripled.collect()) == [0, 0, 0, 1, 2, 3]
+    # a user column named __dup survives
+    df2 = spark.range(2).toDF("__dup")
+    assert row_duplication(df2, copies=2).count() == 4
+
+
+def test_salted_key_salts_null_keys(spark):
+    from etlbox_spark.functions.hashing import salted_key
+
+    df = spark.createDataFrame(
+        [(None, i) for i in range(40)] + [("hot", 1)], "k string, seq long"
+    )
+    out = df.select(salted_key("k", 8, "seq").alias("sk"))
+    null_keys = {r["sk"] for r in out.collect() if "#" not in r["sk"]}
+    # concat was null-propagating: every NULL key mapped to NULL (one
+    # reducer); concat_ws spreads them over the salt space
+    assert len(null_keys) > 1
+    assert all(sk is not None for (sk,) in out.collect())
+
+
+def test_aggregation_rejects_nondeterministic_first(spark):
+    import pytest as _pytest
+
+    from etlbox_spark.operators.aggregate import aggregation
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with _pytest.raises(KeyError):
+        aggregation(df, ["k"], {"x": ("first", "v")})
+
+
+def test_center_on_global_mean_survives_user_mean_col(spark):
+    from etlbox_spark.operators.aggregate import center_on_global_mean
+
+    df = spark.createDataFrame([(1.0, "keep"), (3.0, "keep")], "v double, __mean string")
+    out = center_on_global_mean(df, "v", "c")
+    rows = sorted((r["v"], r["c"], r["__mean"]) for r in out.collect())
+    assert rows == [(1.0, -1.0, "keep"), (3.0, 1.0, "keep")]
+
+
+def test_session_shuffle_defaults_from_master_not_env(monkeypatch):
+    from etlbox_spark.session import _default_shuffle_partitions
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")  # must NOT leak into an explicit master
+    assert _default_shuffle_partitions("local[4]") == 4
+    assert _default_shuffle_partitions("local[0]") == 1  # never an invalid 0
+    assert _default_shuffle_partitions("local[*]") >= 1
+    assert _default_shuffle_partitions("spark://host:7077") >= 1
