@@ -634,12 +634,25 @@ def dedupe_lww(events: DataFrame, spec: MergeSpec) -> DataFrame:
 
     Implemented as ``groupBy(keys).agg(max_by(struct(rest), seq))`` —
     a single shuffle with map-side partial aggregation (see module doc).
+
+    Duplicate-seq events with DIFFERENT payloads are an upstream protocol
+    violation, but the survivor must still be deterministic (replay/
+    oracle reproducibility — bare max_by picks a partition-order-
+    dependent row on ties), so the ordering carries an 8-byte payload
+    hash tie-breaker (``operators.dedupe.payload_tie_break``; appending
+    the full payload struct instead would double the combiner state on
+    this 10^10-row shuffle).
     """
+    from ..operators.dedupe import payload_tie_break
+
     keys = list(spec.key_cols)
     rest = [c for c in events.columns if c not in keys]
+    ordering = F.struct(
+        F.col(spec.seq_col), payload_tie_break(events, rest).alias("__tie")
+    )
     return (
         events.groupBy(*keys)
-        .agg(F.max_by(F.struct(*rest), F.col(spec.seq_col)).alias("__last"))
+        .agg(F.max_by(F.struct(*rest), ordering).alias("__last"))
         .select(*keys, "__last.*")
     )
 

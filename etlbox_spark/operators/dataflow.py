@@ -28,6 +28,12 @@ class Network:
         self._sinks: list[tuple[str, Callable[[], Any]]] = []
 
     def add(self, name: str, action: Callable[[], Any]) -> None:
+        # the results dict cannot represent two sinks under one name —
+        # a silent last-wins would run both actions but LOSE the first
+        # result (and an auto-generated "sink_N" could collide with an
+        # explicit name of the same spelling)
+        if any(name == n for n, _ in self._sinks):
+            raise ValueError(f"duplicate sink name {name!r}")
         self._sinks.append((name, action))
 
     def execute(self) -> dict[str, Any]:
@@ -85,7 +91,13 @@ class Pipe:
 
     def to(self, sink: Callable[[DataFrame], Any], name: str | None = None) -> "Pipe":
         df = self.df
-        self.network.add(name or f"sink_{len(self.network._sinks)}", lambda: sink(df))
+        if name is None:
+            taken = {n for n, _ in self.network._sinks}
+            i = len(self.network._sinks)
+            while f"sink_{i}" in taken:
+                i += 1
+            name = f"sink_{i}"
+        self.network.add(name, lambda: sink(df))
         return self
 
     def execute(self) -> dict[str, Any]:

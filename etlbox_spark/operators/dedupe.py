@@ -12,16 +12,39 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def payload_tie_break(df: DataFrame, payload_cols: Sequence[str]) -> Column:
+    """Deterministic 8-byte tie-breaker for LWW-style max_by orderings:
+    xxhash64 of the (hashable) payload columns. Bare ``max_by`` returns a
+    partition-order-dependent survivor when rows TIE on the ordering —
+    the determinism invariant (CLAUDE.md) bans that in data paths, and
+    appending the full payload struct to the ordering would double the
+    combiner state on a 10^10-row shuffle; the hash costs 8 bytes.
+    Residue: rows identical in every hashable column but differing in a
+    MapType column (xxhash64 rejects maps) can still tie — flat CDC
+    payloads have no maps."""
+    hashable = [
+        F.col(c)
+        for c in payload_cols
+        if not isinstance(df.schema[c].dataType, T.MapType)
+    ]
+    return F.xxhash64(*hashable) if hashable else F.lit(0)
 
 
 def dedupe_lww(df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
     """Last-writer-wins: keep the row with the max (order_cols) tuple per
     key. groupBy + max_by(struct) — partial-aggregating, unlike a window
     (see engine/merge.py module doc for why this matters at 10^10 rows).
-    Ties broken by the struct ordering of ``order_cols``."""
+    Ties on ``order_cols`` break deterministically by payload hash
+    (``payload_tie_break`` — bare max_by would pick a partition-order-
+    dependent survivor)."""
     keys = list(key_cols)
     rest = [c for c in df.columns if c not in keys]
-    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    ord_struct = F.struct(
+        *[F.col(c) for c in order_cols], payload_tie_break(df, rest).alias("__tie")
+    )
     return (
         df.groupBy(*keys)
         .agg(F.max_by(F.struct(*rest), ord_struct).alias("__last"))
@@ -65,6 +88,10 @@ def top_k_per_group(
     window). For zipf-hot groups use ``top_k_per_group_segmented`` —
     top-k is associative, so the skew fix is exact, unlike general
     ranked windows."""
+    if rank_col in df.columns:
+        # withColumn would silently replace the caller's values with
+        # window ranks under the same name (the as_of_join rule)
+        raise ValueError(f"input already has a column named {rank_col!r}")
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
@@ -96,7 +123,7 @@ def top_k_per_group_segmented(
     ``salt_col`` to segment by a cheaper existing expression (e.g. the
     unique tiebreaker the order already requires).
     """
-    clash = {"__seg", "__lrk"} & set(df.columns)
+    clash = {"__seg", "__lrk", rank_col} & set(df.columns)
     if clash:
         # the withColumn/drop below would silently replace-then-remove a
         # caller's column of the same name (the as_of_join rule)

@@ -52,3 +52,18 @@ def test_split_multicast_union_multiple_sinks(spark):
     assert res["merged_n"] == 5
     assert res["hot_ids"] == [3, 4, 5]
     assert res["cold_sums"] == {"a": 10.0, "b": 20.0}
+
+
+def test_network_refuses_duplicate_sink_names(spark):
+    import pytest as _pytest
+
+    from etlbox_spark.operators.dataflow import Pipe
+
+    p = Pipe(spark.range(3))
+    p.to(lambda df: df.count(), name="sink_1")
+    with _pytest.raises(ValueError, match="duplicate sink name"):
+        p.to(lambda df: df.count(), name="sink_1")
+    # auto-naming skips taken names instead of colliding-then-losing a result
+    p.to(lambda df: df.count())  # would have auto-named itself sink_1 before
+    res = p.execute()
+    assert len(res) == 2 and all(v == 3 for v in res.values())

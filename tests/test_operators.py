@@ -289,3 +289,86 @@ def test_session_shuffle_defaults_from_master_not_env(monkeypatch):
     assert _default_shuffle_partitions("local[0]") == 1  # never an invalid 0
     assert _default_shuffle_partitions("local[*]") >= 1
     assert _default_shuffle_partitions("spark://host:7077") >= 1
+
+
+def test_dedupe_lww_tie_is_deterministic(spark):
+    from etlbox_spark.operators.dedupe import dedupe_lww
+
+    # identical (key, order) with different payloads, scattered over
+    # partitions two different ways -- bare max_by would pick a
+    # partition-order-dependent survivor
+    rows = [("k", 5, f"payload_{i}") for i in range(64)]
+    a = dedupe_lww(
+        spark.createDataFrame(rows, "k string, seq long, v string").repartition(8),
+        ["k"], ["seq"],
+    ).collect()
+    b = dedupe_lww(
+        spark.createDataFrame(list(reversed(rows)), "k string, seq long, v string").repartition(3),
+        ["k"], ["seq"],
+    ).collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["v"] == b[0]["v"]
+
+
+def test_engine_dedupe_lww_tie_is_deterministic(spark):
+    from etlbox_spark.engine.merge import dedupe_lww as engine_lww
+    from etlbox_spark.engine.spec import MergeSpec
+
+    rows = [(7, "insert", "r", f"p{i}", "c", "py", f"content_{i}") for i in range(40)]
+    sch = "event_seq long, op string, repo string, path string, commit string, lang string, content string"
+    spec = MergeSpec()
+    dup = [(7, "insert", "r", "p", "c", "py", f"content_{i}") for i in range(40)]
+    a = engine_lww(spark.createDataFrame(dup, sch).repartition(8), spec).collect()
+    b = engine_lww(spark.createDataFrame(list(reversed(dup)), sch).repartition(5), spec).collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["content"] == b[0]["content"]
+
+
+def test_join_guards_fail_fast(spark):
+    import pytest as _pytest
+
+    from etlbox_spark.operators.joins import (
+        as_of_join,
+        global_positions,
+        merge_join_positional,
+        range_join_points,
+    )
+
+    l = spark.createDataFrame([(1, "x")], "ts long, name string")
+    r = spark.createDataFrame([(1, "y")], "pos long, name string")
+    with _pytest.raises(ValueError, match="both sides"):
+        merge_join_positional(l, r, ["ts"], ["pos"])
+    with _pytest.raises(ValueError, match="reserved"):
+        global_positions(spark.createDataFrame([(1, 2)], "ts long, __rn long"), ["ts"])
+    with _pytest.raises(ValueError, match="segment_width"):
+        as_of_join(l, spark.createDataFrame([(1, 9)], "ts long, v long"),
+                   on=[], left_ts="ts", right_ts="ts", segment_width=0)
+    with _pytest.raises(ValueError, match="reserved"):
+        range_join_points(
+            spark.createDataFrame([(1, 5)], "p long, __b long"),
+            spark.createDataFrame([(0, 9)], "s long, e long"),
+            "p", "s", "e", bucket_width=10,
+        )
+
+
+def test_top_k_rank_col_collision_raises(spark):
+    import pytest as _pytest
+
+    from etlbox_spark.operators.dedupe import top_k_per_group, top_k_per_group_segmented
+
+    df = spark.createDataFrame([("g", 1, 9)], "g string, v long, rk long")
+    with _pytest.raises(ValueError, match="rk"):
+        top_k_per_group(df, ["g"], [F.col("v")], 1)
+    with _pytest.raises(ValueError, match="rk"):
+        top_k_per_group_segmented(df, ["g"], [F.col("v")], 1)
+
+
+def test_lookup_map_typed_order_col_named(spark):
+    import pytest as _pytest
+
+    from etlbox_spark.operators.joins import lookup
+
+    facts = spark.createDataFrame([(1,)], "k int")
+    dim = spark.createDataFrame([(1, "v", {"a": 1})], "k int, v string, m map<string,int>")
+    with _pytest.raises(ValueError, match="'m'"):
+        lookup(facts, dim, ["k"], ["v"], order_col="m")
