@@ -36,7 +36,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # a zero-norm vector (padding/masking artifact) would yield 0/0 = NaN,
+    # and Spark orders NaN ABOVE every real similarity — zero vectors
+    # would hijack every top-k and ivf_assign. Define cosine(0, ·) = 0,
+    # matching probe_clusters' driver-side guard (the two rankings must
+    # never disagree).
+    den = _norm(a) * _norm(b)
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(_dot(a, b) / den)
 
 
 def cosine_topk(
@@ -251,15 +257,18 @@ def _ivf_lake_append_pinned(spark, table, df, epoch_id, id_col):
     # file level, pushed __khash IN at row-group level), exact after the
     # id equi-join.
     ids = df.select(F.col(id_col)).distinct()
-    hashes = [
-        int(r[0]) for r in ids.select(key_hash(id_col)).collect()
-    ]
     # the hash set is bounded metadata (8 bytes/id), but pushing it as a
     # literal `__khash IN (...)` and probing every file's bloom with it
     # stops paying past ~tens of thousands of ids (plan blowup + driver
     # bloom loops) — beyond that, fall back to the plain pruned read and
-    # let the id equi-join do the filtering
-    khash_probe = hashes if len(hashes) <= 50_000 else None
+    # let the id equi-join do the filtering. limit(cap+1) proves overflow
+    # WITHOUT materializing a giant batch's full id list on the driver
+    # (the unbounded collect would be the exact cost the cap exists to
+    # avoid; textdedup.dedup_incremental's nomination probe is the model)
+    probe_rows = ids.select(key_hash(id_col)).limit(50_001).collect()
+    khash_probe = (
+        [int(r[0]) for r in probe_rows] if len(probe_rows) <= 50_000 else None
+    )
     existing = (
         table.read(spark, key_hashes=khash_probe, version=m.version)
         .select(F.col(id_col), F.col("bucket").alias("__old_bucket"))
@@ -287,16 +296,19 @@ def _ivf_lake_append_pinned(spark, table, df, epoch_id, id_col):
     return table.commit_delta_buckets(rows, buckets, epoch_id, base_version=m.version)
 
 
+def _pinned_centroids(m) -> list[list[float]]:
+    import json as _json
+
+    if "ivf.centroids" not in m.properties:
+        raise ValueError("not an IVF lake table (no pinned ivf.centroids property)")
+    return _json.loads(m.properties["ivf.centroids"])
+
+
 def ivf_centroids(table) -> list[list[float]]:
     """The table's PINNED centroid set (the physical layout's source of
     truth) — probes must use exactly these; after ``ivf_lake_recluster``
     a caller-cached copy is stale and would prune to the wrong buckets."""
-    import json as _json
-
-    m = table.manifest()
-    if "ivf.centroids" not in m.properties:
-        raise ValueError("not an IVF lake table (no pinned ivf.centroids property)")
-    return _json.loads(m.properties["ivf.centroids"])
+    return _pinned_centroids(table.manifest())
 
 
 def ivf_lake_recluster(
@@ -414,11 +426,17 @@ def ivf_lake_topk(
     centroids, query); the difference is the I/O: untouched clusters'
     files are never scanned. ``centroids=None`` reads the table's pinned
     set (always correct after a recluster; pass an explicit list only
-    when snapshot-pinning a probe against a known layout)."""
+    when probing a layout you KNOW matches the current snapshot).
+
+    Centroids and data come from ONE manifest version: ranking against
+    snapshot V's centroids but reading the unpinned latest would
+    silently prune to the wrong clusters whenever a recluster publishes
+    V+1 with a new layout between the two reads."""
+    m = table.manifest()
     if centroids is None:
-        centroids = ivf_centroids(table)
+        centroids = _pinned_centroids(m)
     probe = probe_clusters(query_vec, centroids, n_probe)
-    df = table.read(spark, buckets=probe, with_bucket=False)
+    df = table.read(spark, buckets=probe, with_bucket=False, version=m.version)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(F.col(id_col), cosine(F.col(vec_col), q).alias(sim_col))
@@ -465,8 +483,11 @@ def ivf_lake_topk_batch(
 
     from ..engine.lake import BUCKET_COL
 
+    # centroids and data from ONE manifest version (see ivf_lake_topk) —
+    # a concurrent recluster must not split the ranking from the layout
+    m = table.manifest()
     if centroids is None:
-        centroids = ivf_centroids(table)
+        centroids = _pinned_centroids(m)
 
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(query_vec_col), c))
@@ -485,7 +506,7 @@ def ivf_lake_topk_batch(
     clusters = sorted(
         int(r[0]) for r in q.select(F.explode("__probe")).distinct().collect()
     )
-    vecs = table.read(spark, buckets=clusters)
+    vecs = table.read(spark, buckets=clusters, version=m.version)
     pr = q.select(
         query_id_col, query_vec_col, F.explode("__probe").alias(BUCKET_COL)
     )
@@ -574,6 +595,21 @@ def _hash01(seed: int, i: int, j: int) -> float:
     return (x % 2001 - 1000) / 1000.0
 
 
+def _check_vec_dim(df: DataFrame, vec_col: str, dim: int, who: str) -> None:
+    """One bounded row probe: a plane/band width wider than the actual
+    vectors makes zip_with pad with nulls, every dot product null, and
+    every row land in bucket 0 — the banded join then silently degrades
+    to an all-pairs cross join (the module's own scale invariant). Fail
+    loudly instead."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if row and row[0]["n"] < dim:
+        raise ValueError(
+            f"{who}: vectors have {row[0]['n']} components but dim={dim} "
+            "was requested — every bucket key would degenerate and the "
+            "candidate join would go all-pairs; pass the real dimension"
+        )
+
+
 def lsh_sign_bucket(vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot(vec, plane_i),
     planes derived deterministically from the seed.
@@ -613,6 +649,9 @@ def component_sign_pairs(
     hashed-plane variant ``cosine_near_dup_pairs``); the join/banding
     shape — the part that must survive 100 TB — is identical.
     """
+    # element_at past the vector's end throws under Spark 4 ANSI mode —
+    # surface a clear error at call time, not mid-shuffle
+    _check_vec_dim(df, vec_col, bands * bits_per_band, "component_sign_pairs")
     r = bits_per_band
 
     def band_key(b: int) -> Column:
@@ -666,6 +705,7 @@ def cosine_near_dup_pairs(
     """Embedding near-dup pairs: LSH sign-bucket first (near-identical
     vectors share all sign bits with high probability), exact cosine
     within buckets, keep pairs ≥ threshold."""
+    _check_vec_dim(df, vec_col, dim, "cosine_near_dup_pairs")
     # per-row norms computed ONCE before the pair join: inside a bucket of
     # m rows each vector joins ~m pairs, so norm-per-pair would redo
     # O(m·dim) work per vector

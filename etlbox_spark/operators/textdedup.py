@@ -23,8 +23,30 @@ from pyspark.sql import types as T
 
 
 def normalize_text(col: Column) -> Column:
-    """Lowercase + collapse whitespace — shared by fingerprint/dedup."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """Lowercase + collapse whitespace — shared by fingerprint/dedup.
+
+    NULL text coalesces to the empty string: left to propagate, NULL
+    produced an inconsistent hazard pair — ``sha2(NULL)=NULL`` collapsed
+    every null-text doc into ONE "exact duplicate" group (all but one
+    silently deleted), while a NULL MinHash signature hashed every band
+    to the same constant, pairing null docs all-against-all with
+    null-valued verifies that formed no edges. Null and empty documents
+    now take one deterministic path: they are exact duplicates of each
+    other (empty text), deduped like any other content class."""
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " ")
+
+
+def _check_bands(n_perm: int, bands: int) -> None:
+    """bands must divide n_perm: the silent ``rows = n_perm // bands``
+    truncation would drop the tail permutations from banding (a different
+    recall/precision operating point than requested, at full signature
+    cost), and bands > n_perm yields rows=0 — a zero-arg xxhash64 plan
+    error far from the bad parameter."""
+    if bands < 1 or n_perm % bands:
+        raise ValueError(
+            f"bands={bands} must be >= 1 and divide n_perm={n_perm} "
+            "(each band hashes n_perm/bands signature rows)"
+        )
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
@@ -111,6 +133,7 @@ def minhash_lsh_candidates(
     """
     if parallelism:
         df = df.repartition(parallelism)
+    _check_bands(n_perm, bands)
     rows = n_perm // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -391,6 +414,7 @@ def lsh_band_rows(
     FP_BAND row collides for exact dups, and both are verified exactly
     downstream (the hash is only ever a candidate filter).
     """
+    _check_bands(n_perm, bands)
     rows = n_perm // bands
     sig = docs.select(
         F.col(id_col).alias("id"),
@@ -538,6 +562,17 @@ def dedup_incremental(
 
     Returns the batch-survivor DataFrame.
     """
+    # duplicate ids in one batch: id_a < id_b never forms an edge between
+    # two rows sharing an id, so BOTH would be returned as survivors while
+    # apply_epoch's LWW collapses them to one committed row — the returned
+    # frame and the corpus would silently diverge (the ANN append's rule)
+    dup = batch.groupBy(id_col).count().where(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"batch has duplicate {id_col}={dup[0][0]!r}; one row per id "
+            "per batch (the survivor set and the committed corpus would "
+            "diverge)"
+        )
     cand_bc, cand_bb = incremental_candidates(
         spark, index, batch, id_col, text_col, n_perm, bands, ngram, seed
     )

@@ -173,3 +173,54 @@ def test_minhash_lsh_est_optional(spark, near_dup_docs):
     assert "est_jaccard" in est.columns
     r = {(x.id_a, x.id_b): x.est_jaccard for x in est.collect()}
     assert r[(1, 2)] > 0.3
+
+
+def test_cosine_zero_vector_never_tops_ranking(spark):
+    from etlbox_spark.operators.similarity import cosine, cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, v array<double>",
+    )
+    # 0/0 = NaN used to sort ABOVE every real similarity
+    out = cosine_topk(df, "v", [1.0, 0.0], k=2, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    sim0 = df.where("vec_id = 2").select(
+        cosine(F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).alias("s")
+    ).collect()[0]["s"]
+    assert sim0 == 0.0  # defined, matches probe_clusters' driver guard
+
+
+def test_vec_dim_guards_fail_fast(spark):
+    from etlbox_spark.operators.similarity import component_sign_pairs
+
+    short = spark.createDataFrame([(1, [0.5, 0.5])], "vec_id long, v array<double>")
+    # planes wider than the vectors -> every bucket 0 -> silent all-pairs
+    with pytest.raises(ValueError, match="components"):
+        cosine_near_dup_pairs(short, "v", dim=64)
+    # element_at past the end throws mid-shuffle under ANSI otherwise
+    with pytest.raises(ValueError, match="components"):
+        component_sign_pairs(short, "v", bands=16, bits_per_band=2)
+
+
+def test_null_text_normalizes_to_empty(spark):
+    from etlbox_spark.operators.textdedup import normalize_text
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "  ")], "id long, t string")
+    rows = df.select(
+        normalize_text(F.col("t")).alias("n"),
+        F.sha2(normalize_text(F.col("t")), 256).alias("fp"),  # the pipeline's exact-dup key
+    ).collect()
+    # one deterministic path: null == empty == whitespace-only
+    assert {r["n"] for r in rows} == {""}
+    assert len({r["fp"] for r in rows}) == 1 and rows[0]["fp"] is not None
+
+
+def test_check_bands_validation(spark):
+    from etlbox_spark.operators.textdedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, t string")
+    with pytest.raises(ValueError, match="divide n_perm"):
+        minhash_lsh_candidates(df, "id", "t", n_perm=64, bands=12)
+    with pytest.raises(ValueError, match="divide n_perm"):
+        minhash_lsh_candidates(df, "id", "t", n_perm=64, bands=128)
