@@ -279,12 +279,17 @@ class Manifest:
         v = version if version is not None else self.current_schema_version
         return T.StructType.fromJson(self.schemas[str(v)])
 
-    def to_json(self) -> str:
+    def to_json(self, extra: "dict | None" = None) -> str:
         # declared fields only: committers ride the per-commit delta
         # record on the instance as a ``_delta`` attribute, which must
-        # never leak into a serialized full state
+        # never leak into a serialized full state. ``extra`` merges
+        # record-level keys (e.g. change_token) — _publish routes its
+        # full-record writes through HERE so the wire format has exactly
+        # one author (the first drift between hand-copied serializers
+        # was a real bug, see _rewrite_buckets' history)
         d = {f.name: getattr(self, f.name) for f in dataclass_fields(self)}
         d["committed_epochs"] = _epoch_runs(self.committed_epochs)
+        d.update(extra or {})
         return json.dumps(d, sort_keys=True, indent=1)
 
     @staticmethod
@@ -616,10 +621,7 @@ class LakeTable:
         if delta is not None:
             payload = json.dumps(delta, sort_keys=True)
         else:
-            d = {f.name: getattr(m, f.name) for f in dataclass_fields(m)}
-            d["committed_epochs"] = _epoch_runs(m.committed_epochs)
-            d.update(getattr(m, "_record_extra", None) or {})
-            payload = json.dumps(d, sort_keys=True, indent=1)
+            payload = m.to_json(extra=getattr(m, "_record_extra", None))
         mpath = self._vpath(m.version)
         tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -1565,19 +1567,25 @@ class LakeTable:
                         "(rand()/uuid()-style predicates evaluate differently "
                         "in the hit scan and the survivor write)"
                     )
-                hit = sorted(
-                    int(r[0])
-                    for r in matched.select(BUCKET_COL).distinct().collect()
-                )
+                # one job yields BOTH the hit-bucket set and the deleted-
+                # row metric: matched rows (cond true) are exactly the
+                # rows the survivor filter (~coalesce(cond, false))
+                # drops, so a separate touched.count() merge scan of the
+                # hit buckets bought nothing
+                hits = {
+                    int(r[0]): int(r[1])
+                    for r in matched.groupBy(BUCKET_COL).count().collect()
+                }
+                hit = sorted(hits)
                 if not hit:
                     return {
                         "rows_deleted": 0,
                         "buckets_rewritten": 0,
                         "version": m.version,
                     }
+                n_matched = sum(hits.values())
                 touched = self.read(spark, buckets=hit, version=m.version)
                 survivors = touched.where(~F.coalesce(cond, F.lit(False)))
-                n_before = touched.count()
                 token = uuid.uuid4().hex[:12]
                 tmp = None
                 if emit_changes:
@@ -1602,12 +1610,8 @@ class LakeTable:
                 new_ver, entries = res
                 if tmp is not None:
                     self._finalize_maintenance_changes(tmp, new_ver)
-                # the survivor count comes free from the footers the
-                # write already read — no second scan+merge of the hit
-                # buckets just to count
-                n_after = sum(int(e["rows"]) for e in entries)
                 return {
-                    "rows_deleted": int(n_before - n_after),
+                    "rows_deleted": int(n_matched),
                     "buckets_rewritten": len(hit),
                     "version": new_ver,
                 }
@@ -1794,6 +1798,7 @@ class LakeTable:
                 raise ValueError(
                     f"version {v} does not exist or is not retained (vacuumed?)"
                 ) from None
+            prev = self.manifest().properties.get(f"tag.{name}")
             out = self.set_properties({f"tag.{name}": v})
             # the tag addresses the MANIFEST as well as the files: a
             # racing vacuum may have deleted v{v}.json (e.g. when every
@@ -1809,7 +1814,16 @@ class LakeTable:
             if missing or not os.path.exists(
                 os.path.join(self._meta_dir, f"v{v}.json")
             ):
-                self.untag(name)
+                # restore the PREVIOUS pin, never plain-untag: a failed
+                # RE-tag must not silently drop a durable retention
+                # guarantee the operator never revoked (the old pin kept
+                # its version alive through every vacuum until now)
+                if prev is not None:
+                    self.set_properties({f"tag.{name}": prev})
+                    undone = f"restored to v{prev}"
+                else:
+                    self.untag(name)
+                    undone = "removed"
                 what = (
                     f"{len(missing)} of v{v}'s data file(s)"
                     if missing
@@ -1817,7 +1831,7 @@ class LakeTable:
                 )
                 raise ValueError(
                     f"tag {name!r} raced a vacuum that reclaimed {what}; "
-                    "the tag was removed"
+                    f"the tag was {undone}"
                 )
             return out
 
@@ -2274,6 +2288,11 @@ class LakeTable:
         before raising."""
         import time as _time
 
+        if keep_versions < 1:
+            # keep_versions=0 would compute an EMPTY keep set and delete
+            # every record including the latest — one operator typo from
+            # irreversibly losing the table
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         latest = self.latest_version()
         keep = set(range(max(0, latest - keep_versions + 1), latest + 1))
         # tags are durable pins: a tag.<name> property on the LATEST
@@ -2350,7 +2369,19 @@ class LakeTable:
             try:
                 entries = self.manifest(v).files
             except FileNotFoundError:
-                keep.discard(v)  # intent target already expired earlier
+                if v == latest:
+                    # an unreadable LATEST is table damage — deleting
+                    # more (its record would leave keep, its files never
+                    # enter `referenced`) escalates recoverable metadata
+                    # damage into permanent data loss; abort loudly
+                    raise RuntimeError(
+                        f"vacuum: latest snapshot v{latest} does not "
+                        "materialize — refusing to delete anything; run "
+                        "fsck and repair first"
+                    ) from None
+                # an older keep-window/pin version with no record was
+                # legitimately expired by an earlier, narrower vacuum
+                keep.discard(v)
                 continue
             for e in entries:
                 referenced.add(os.path.normpath(os.path.join(self.root, e["path"])))
@@ -2478,8 +2509,12 @@ class LakeTable:
                 m = self._materialize(v)
             except FileNotFoundError:
                 continue  # expired earlier; nothing to preserve
-            with contextlib.suppress(OSError):
-                _atomic_write(self._ckpt_path(v), m.to_json())
+            # a FAILED checkpoint write (ENOSPC/EIO) must abort the
+            # vacuum: the deletion walk below is about to drop this
+            # run's parent records, and without the checkpoint every
+            # version in the run — including possibly the latest —
+            # becomes permanently unreconstructible in a fresh process
+            _atomic_write(self._ckpt_path(v), m.to_json())
 
     # ------------------------------------------------------- introspection
     def row_count(self) -> int:

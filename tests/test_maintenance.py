@@ -333,3 +333,95 @@ def test_vacuum_keeps_time_travel_window(spark, tmp_path):
     prev_state = _state(spark, t, version=v_latest - 1)
     t.vacuum(keep_versions=2)
     assert _state(spark, t, version=v_latest - 1) == prev_state  # kept version readable
+
+
+def test_vacuum_refuses_keep_versions_zero(spark, tmp_path):
+    import pytest as _pytest
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    _apply_n_epochs(spark, t, 2)
+    with _pytest.raises(ValueError, match="keep_versions"):
+        t.vacuum(keep_versions=0)  # would have deleted EVERY record incl. latest
+    with _pytest.raises(ValueError, match="keep_versions"):
+        t.vacuum(keep_versions=-3)
+
+
+def test_vacuum_aborts_when_latest_unmaterializable(spark, tmp_path):
+    import pytest as _pytest
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    _apply_n_epochs(spark, t, 3)
+    latest = t.latest_version()
+    vpath = t._vpath(latest)
+    os.remove(vpath)  # metadata damage: latest record gone
+    t._snapshot_cache.clear() if hasattr(t, "_snapshot_cache") else None
+    before = {
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(t._data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    fresh = LakeTable.load(t.root)  # no warm cache: the damage must be SEEN
+    # the abort may surface as the top-of-vacuum manifest read
+    # (FileNotFoundError) or the referenced-walk guard (RuntimeError);
+    # either way the guarantee is: refuse BEFORE deleting anything
+    with _pytest.raises((RuntimeError, FileNotFoundError)):
+        fresh.vacuum(keep_versions=1)
+    after = {
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(t._data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert after == before  # refused to delete ANYTHING
+
+
+def test_vacuum_aborts_on_checkpoint_write_failure(spark, tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    from etlbox_spark.engine import lake as lake_mod
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    _apply_n_epochs(spark, t, 5)
+    real = lake_mod._atomic_write
+
+    def failing(path, content):
+        if path.endswith(".ckpt.json"):
+            raise OSError("simulated ENOSPC")
+        return real(path, content)
+
+    monkeypatch.setattr(lake_mod, "_atomic_write", failing)
+    records_before = sorted(
+        f for f in os.listdir(t._meta_dir) if f.endswith(".json")
+    )
+    with _pytest.raises(OSError, match="ENOSPC"):
+        t.vacuum(keep_versions=2)
+    monkeypatch.undo()
+    # nothing was deleted: every retained version still materializes
+    assert sorted(f for f in os.listdir(t._meta_dir) if f.endswith(".json")) == records_before
+    assert LakeTable.load(t.root).read(spark).count() > 0
+
+
+def test_failed_retag_restores_previous_pin(spark, tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    t = LakeTable.create(str(tmp_path / "t"), REPO_FILES_SCHEMA, ["repo", "path"], 4)
+    _apply_n_epochs(spark, t, 3)
+    v_old = t.latest_version() - 1
+    t.tag("release", v_old)
+    target = 1  # a retained, older version DIFFERENT from the old pin
+
+    real = LakeTable.set_properties
+
+    def racing(self, props=None, unset=None):
+        out = real(self, props=props, unset=unset)
+        if props and props.get("tag.release") == target:
+            os.remove(self._vpath(target))  # vacuum reclaims the target's manifest
+        return out
+
+    monkeypatch.setattr(LakeTable, "set_properties", racing)
+    with _pytest.raises(ValueError, match="restored to v"):
+        t.tag("release", target)
+    monkeypatch.undo()
+    # the ORIGINAL durable pin is back in force, not silently dropped
+    assert t.tags()["release"] == v_old
